@@ -1,0 +1,108 @@
+"""Command-line interface: index / classify / analysis.
+
+Mirrors the reference binary's subcommands (src/main.c:35-53) with a native
+index format; `classify --engine` selects the host oracle (gold) or the
+TPU batch engine (device).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def cmd_index(args):
+    from .index.build import build_index
+    from .index.store import save_index
+
+    t0 = time.time()
+    idx = build_index(args.reference,
+                      progress=lambda *a: print(*a, file=sys.stderr))
+    save_index(idx, args.index_dir)
+    if args.export_reference_format:
+        from .index.compat import export_reference_format
+
+        export_reference_format(idx, args.index_dir)
+    print(f"index built in {time.time()-t0:.1f}s -> {args.index_dir}",
+          file=sys.stderr)
+
+
+def cmd_classify(args):
+    from .engine.gold.classify import ClassifyEngine, Options
+    from .index.store import load_index
+    from .io.fastx import read_fastx
+    from .io.sam import format_result
+
+    t0 = time.time()
+    idx = load_index(args.index_dir)
+    print("loading index\tStart classify", file=sys.stderr)
+    opts = Options(filter_min_length=args.l, max_sec_n=args.r,
+                   filter_min_score=args.s, out_format=args.f)
+    out = sys.stdout if args.o is None else open(args.o, "w")
+    n = 0
+    t1 = time.time()
+    if args.engine == "device":
+        from .engine.device.pipeline import DeviceClassifier
+
+        eng = DeviceClassifier(idx, opts)
+        for path in args.reads:
+            print(f"Processing file: [{path}].", file=sys.stderr)
+            for res in eng.classify_file(path):
+                out.write(format_result(res, idx.ref_name, opts))
+                n += 1
+    else:
+        eng = ClassifyEngine(idx, opts)
+        for path in args.reads:
+            print(f"Processing file: [{path}].", file=sys.stderr)
+            for rec in read_fastx(path):
+                res = eng.classify_read(rec.name, rec.seq, rec.qual)
+                out.write(format_result(res, idx.ref_name, opts))
+                n += 1
+    dt = time.time() - t1
+    print(f"{n} sequences processed in {dt:.3f}s "
+          f"({n / 1e3 / (dt / 60):.1f} Kseq/m).", file=sys.stderr)
+    if args.o is not None:
+        out.close()
+
+
+def cmd_analysis(args):
+    from .analysis.taxonomy import run_analysis
+
+    run_analysis(args.mode, args.args)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="desamba-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build index from reference FASTA")
+    pi.add_argument("reference")
+    pi.add_argument("index_dir")
+    pi.add_argument("--export-reference-format", action="store_true",
+                    help="also write the reference binary's 8-file format")
+    pi.set_defaults(fn=cmd_index)
+
+    pc = sub.add_parser("classify", help="classify reads")
+    pc.add_argument("index_dir")
+    pc.add_argument("reads", nargs="+")
+    pc.add_argument("-t", type=int, default=4, help="threads (host engine)")
+    pc.add_argument("-l", type=int, default=170, help="min matching length")
+    pc.add_argument("-r", type=int, default=5, help="max secondary output")
+    pc.add_argument("-o", default=None, help="output file")
+    pc.add_argument("-s", type=int, default=64, help="min score")
+    pc.add_argument("-f", default="SAM",
+                    choices=["SAM", "SAM_FULL", "DES", "DES_FULL"])
+    pc.add_argument("--engine", default="gold", choices=["gold", "device"])
+    pc.set_defaults(fn=cmd_classify)
+
+    pa = sub.add_parser("analysis", help="taxonomy / accuracy analysis")
+    pa.add_argument("mode")
+    pa.add_argument("args", nargs="*")
+    pa.set_defaults(fn=cmd_analysis)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,4 +6,4 @@ engine. Structured after the reference call stack (SURVEY.md §3.4):
 islands -> fast/slow FM seeding -> map_seed/LV -> chaining -> 9-mer SDP
 rescoring -> filtering -> primary detection.
 """
-# from .classify import ClassifyEngine  (populated as stages land)
+from .classify import ClassifyEngine, Options  # noqa: F401

@@ -57,9 +57,9 @@ def fast_classify(idx, fm: FM, loc: Locator, q_mem, q_lv, sd: SearchDir,
             max_score = 0
             for r in m_r:
                 r.read_offset = string_index - r.match_len
-                c_score = map_seed(idx, fm, loc, q_mem, q_lv, r, sd.bin_read,
-                                   read_len, si, sd.direction, anchors,
-                                   super_repeat)
+                c_score = map_seed(idx, fm, loc, q_mem, q_lv, r, sd.buf,
+                                   sd.base, read_len, si, sd.direction,
+                                   anchors, super_repeat)
                 max_score = max(c_score, max_score)
             if max_score > 35:
                 j -= 7
@@ -109,8 +109,8 @@ def slow_classify(idx, fm: FM, loc: Locator, q_mem, q_lv, sd: SearchDir,
             mem_rst = _qsort_by_match_len(mem_rst)
         a_b_idx = len(anchors)
         for r in mem_rst[: min(len(mem_rst), MEM_SEARCH_SLOW)]:
-            map_seed(idx, fm, loc, q_mem, q_lv, r, sd.bin_read, read_len, si,
-                     sd.direction, anchors, super_repeat)
+            map_seed(idx, fm, loc, q_mem, q_lv, r, sd.buf, sd.base,
+                     read_len, si, sd.direction, anchors, super_repeat)
         top_score = 35
         for a in anchors[a_b_idx:]:
             top_score = max(top_score, a.score)

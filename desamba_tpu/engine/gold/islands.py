@@ -19,10 +19,12 @@ from ...index.kmers import CLY_BIT, hash64_1, hash64_2
 @dataclass
 class SearchDir:
     seeds: list          # list of [offset, length, top] (mutable)
-    bin_read: np.ndarray  # uint8 codes for this direction
+    bin_read: np.ndarray  # uint8 codes for this direction (view into buf)
     kmer_hit: np.ndarray  # bool per kmer position: passes existence filter
     direction: int
     total_score: int
+    buf: np.ndarray = None   # full F+R buffer (C: one allocation, src/cly.c:1241)
+    base: int = 0            # this direction's offset into buf
 
 
 def store_kmers_mask(bin_read: np.ndarray, n_kmers: int, l_ek: int,
@@ -139,14 +141,15 @@ def get_islands(read_seq: str, idx, *,
     read_len = len(read_seq)
     n_kmers = read_len - l_ek + 1
     bin_f = _enc(read_seq)
-    bin_r = (3 - bin_f)[::-1].copy()
+    buf = np.concatenate([bin_f, (3 - bin_f)[::-1]])
     dirs = []
-    for bin_read, direction in ((bin_f, FORWARD), (bin_r, REVERSE)):
+    for base, direction in ((0, FORWARD), (read_len, REVERSE)):
+        bin_read = buf[base : base + read_len]
         kmers = store_kmers_mask(bin_read, n_kmers, l_ek, idx.single_base_max)
         hit = exist_mask(kmers, idx.ekmer0, idx.ekmer1, idx.e_hash_mask)
         seeds = search_islands(hit, direction)
         total = mark_top(seeds, n_kmers, direction)
-        dirs.append(SearchDir(seeds, bin_read, hit, direction, total))
+        dirs.append(SearchDir(seeds, bin_read, hit, direction, total, buf, base))
     if dirs[0].total_score < dirs[1].total_score:
         dirs = [dirs[1], dirs[0]]
     both = (dirs[0].total_score - dirs[1].total_score) <= (dirs[0].total_score >> 3)

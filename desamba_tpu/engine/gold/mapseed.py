@@ -22,6 +22,21 @@ from .fm import FM, MAX_U64, MemRst, SpSet
 LV_BASE = LV_ERROR
 SENT_REF = 254   # stands in for the '#' ref sentinel (src/cly.c:534)
 SENT_QRY = 255   # stands in for the '$' query sentinel
+GARBAGE = 200    # stands in for C reads outside the read buffer
+U32M = 0xFFFFFFFF
+
+
+def qslice(buf: np.ndarray, start: int, length: int, step: int) -> np.ndarray:
+    """Read `length` bytes from the F+R read buffer starting at absolute
+    index `start`, direction `step` (+1/-1). Out-of-buffer bytes (heap
+    garbage in C) become GARBAGE, which never matches a base or sentinel."""
+    if length <= 0:
+        return np.empty(0, dtype=np.uint8)
+    idx = start + step * np.arange(length)
+    ok = (idx >= 0) & (idx < len(buf))
+    out = np.full(length, GARBAGE, dtype=np.uint8)
+    out[ok] = buf[idx[ok]]
+    return out
 
 
 @dataclass
@@ -178,8 +193,8 @@ def lv_extd(ref: np.ndarray, ref_length: int, query: np.ndarray,
     return best_score
 
 
-def get_new_ed(q_off: int, t_off: int, l_read: int, q_b: np.ndarray,
-               ref_bin: np.ndarray, is_fwd: bool):
+def get_new_ed(q_off: int, t_off: int, l_read: int, buf: np.ndarray,
+               base: int, ref_bin: np.ndarray, is_fwd: bool):
     """Re-extension against the true reference (src/cly.c:629-694).
 
     Returns (ed, len, l_mem_ext).
@@ -190,11 +205,11 @@ def get_new_ed(q_off: int, t_off: int, l_read: int, q_b: np.ndarray,
             q_off = 0
         max_len = q_off
         length = min(12, max_len)
-        q = q_b[q_off - length + 1 : q_off + 1][::-1] if length > 0 else np.empty(0, np.uint8)
+        q = qslice(buf, base + q_off, length, -1)
     else:
         max_len = l_read - q_off
         length = min(12, max_len)
-        q = q_b[q_off : q_off + length]
+        q = qslice(buf, base + q_off, length, 1)
     t = get_ref(ref_bin, t_off, length, not is_fwd)
     if length > 0 and len(t) > 0 and t[0] == q[0]:
         while True:
@@ -209,11 +224,10 @@ def get_new_ed(q_off: int, t_off: int, l_read: int, q_b: np.ndarray,
             if is_fwd:
                 q_off -= mtc
                 t_off -= mtc
-                q = (q_b[q_off - length + 1 : q_off + 1][::-1]
-                     if length > 0 else np.empty(0, np.uint8))
+                q = qslice(buf, base + q_off, length, -1)
             else:
                 t_off += mtc
-                q = q_b[q_off + l_mem_ext : q_off + l_mem_ext + length]
+                q = qslice(buf, base + q_off + l_mem_ext, length, 1)
             t = get_ref(ref_bin, t_off, length, not is_fwd)
             if length <= 0 or len(t) == 0:
                 break
@@ -222,8 +236,8 @@ def get_new_ed(q_off: int, t_off: int, l_read: int, q_b: np.ndarray,
 
 
 def map_seed(idx, fm: FM, loc: Locator, q_mem, q_lv, m_r: MemRst,
-             bin_read: np.ndarray, read_len: int, seed_id: int, direction: int,
-             anchors: list, strain_mode_counts: list) -> int:
+             buf: np.ndarray, base: int, read_len: int, seed_id: int,
+             direction: int, anchors: list, strain_mode_counts: list) -> int:
     """src/cly.c:706-939. Appends Anchors; returns max anchor score."""
     ref_bin = idx.ref_bin
     b_p = m_r.sp
@@ -239,8 +253,7 @@ def map_seed(idx, fm: FM, loc: Locator, q_mem, q_lv, m_r: MemRst,
     while True:  # do { } while(0)
         # step 1: prefix
         l_pre = min(q_off + 1, LV_L)
-        q_pre = (bin_read[q_off - l_pre + 1 : q_off + 1][::-1]
-                 if l_pre > 0 else np.empty(0, np.uint8))
+        q_pre = qslice(buf, base + q_off, l_pre, -1)
         t_pre_chars = []
         s_l = 0
         if m_r.sa_sp != MAX_U64:
@@ -283,12 +296,14 @@ def map_seed(idx, fm: FM, loc: Locator, q_mem, q_lv, m_r: MemRst,
                 s = 0
                 break
         q_off_r = q_off + l_m + 1
-        l_max_suf = min(int(idx.uni_len[uni]) - u_off - l_m, read_len - q_off_r)
+        # uint32 arithmetic: negative operands wrap huge (src/cly.c:798)
+        l_max_suf = min((int(idx.uni_len[uni]) - u_off - l_m) & U32M,
+                        (read_len - q_off_r) & U32M)
         if l_max_suf != 0:
             l_suf = min(l_max_suf, LV_L)
             q_suf_i = q_off_r
             t_suf = get_ref(ref_bin, t_off + l_m, l_suf, True)
-            q_suf = bin_read[q_suf_i : q_suf_i + l_suf]
+            q_suf = qslice(buf, base + q_suf_i, l_suf, 1)
             if len(t_suf) and len(q_suf) and t_suf[0] == q_suf[0]:
                 while True:
                     mtc = 0
@@ -302,7 +317,7 @@ def map_seed(idx, fm: FM, loc: Locator, q_mem, q_lv, m_r: MemRst,
                     l_suf = min(l_max_suf, LV_L)
                     q_suf_i += mtc
                     t_suf = get_ref(ref_bin, t_off + l_m, l_suf, True)
-                    q_suf = bin_read[q_suf_i : q_suf_i + l_suf]
+                    q_suf = qslice(buf, base + q_suf_i, l_suf, 1)
                     if l_suf <= 0:
                         break
             d_suf = lv_extd(t_suf, l_suf, q_suf, l_suf)
@@ -332,13 +347,13 @@ def map_seed(idx, fm: FM, loc: Locator, q_mem, q_lv, m_r: MemRst,
             if ref_search_l or ref_search_r:
                 if ref_search_l:
                     ed_l, len_l, l_m_ext_l = get_new_ed(
-                        q_off, g_off + u_off - 1, read_len, bin_read, ref_bin, True)
+                        q_off, g_off + u_off - 1, read_len, buf, base, ref_bin, True)
                     a_ll, a_le = len_l, ed_l
                 a_mtch = l_m + l_m_ext_l
                 if ref_search_r:
                     ed_r, len_r, l_m_ext_r = get_new_ed(
                         q_off + l_m + 1, g_off + u_off + l_m, read_len,
-                        bin_read, ref_bin, False)
+                        buf, base, ref_bin, False)
                     a_rl, a_re = len_r, ed_r
                     a_mtch += l_m_ext_r
                 a_score = int(q_mem[a_mtch]) + int(q_lv[a_le][a_ll]) + int(q_lv[a_re][a_rl])
