@@ -1,0 +1,91 @@
+"""Taxonomy analysis parity vs the reference binary on synthetic inputs
+exercising: deep trees, equal-score descendant replacement, unmapped reads,
+score-0 groups, secondaries/supplementaries, and the EOF-drops-last-read
+quirk."""
+import subprocess
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synthetic(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ana")
+    nodes = d / "nodes.dmp"
+    rows = [
+        (1, 1, "no rank"),
+        (10, 1, "superkingdom"),
+        (20, 10, "phylum"),
+        (30, 20, "genus"),
+        (31, 30, "species"),
+        (32, 30, "species"),
+        (40, 10, "genus"),
+        (41, 40, "species"),
+    ]
+    nodes.write_text("".join(f"{t}\t|\t{p}\t|\t{r}\t|\n" for t, p, r in rows))
+    sam = d / "in.sam"
+    L = [
+        # equal scores, 31 is a descendant of 30 -> replaced to 31
+        "r1\t0\ttid|30|ref|A\t100\t30\t10S500M10S\t*\t0\t0\t*\t*\tAS:i:120\t",
+        "r1\t256\ttid|31|ref|B\t200\t0\t10S500M10S\t*\t0\t0\t*\t*\tAS:i:120\t",
+        # different scores -> no replacement
+        "r2\t0\ttid|30|ref|A\t100\t30\t0S400M0S\t*\t0\t0\t*\t*\tAS:i:100\t",
+        "r2\t256\ttid|32|ref|C\t200\t0\t0S400M0S\t*\t0\t0\t*\t*\tAS:i:90\t",
+        # unmapped
+        "r3\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\t",
+        # score 0 primary: grouping stops, the secondary counts as a new read
+        "r4\t0\ttid|41|ref|D\t5\t30\t0S300M0S\t*\t0\t0\t*\t*\tAS:i:0\t",
+        "r4\t256\ttid|40|ref|E\t9\t0\t0S300M0S\t*\t0\t0\t*\t*\tAS:i:55\t",
+        # low coverage read (gate in base mode)
+        "r5\t0\ttid|41|ref|D\t5\t30\t0S2000M0S\t*\t0\t0\t*\t*\tAS:i:4\t",
+        # last read: EOF drops its tid from counts
+        "r6\t0\ttid|32|ref|C\t7\t30\t0S600M0S\t*\t0\t0\t*\t*\tAS:i:200\t",
+    ]
+    sam.write_text("".join(l + "\n" for l in L))
+    return sam, nodes
+
+
+def _ref_analysis(exe, mode, sam, nodes, cwd):
+    r = subprocess.run([str(exe), "analysis", mode, sam.name, str(nodes)],
+                       cwd=str(sam.parent), capture_output=True, text=True,
+                       check=True)
+    return r.stdout
+
+
+def _my_analysis(mode, sam, nodes):
+    import io
+
+    from desamba_tpu.analysis.taxonomy import run_analysis
+
+    out = io.StringIO()
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(sam.parent)
+    try:
+        run_analysis(mode, [sam.name, str(nodes)], out)
+    finally:
+        os.chdir(cwd)
+    return out.getvalue()
+
+
+@pytest.mark.parametrize("mode", ["ana_meta", "ana_meta_base"])
+def test_synthetic_parity(reference_binary, synthetic, mode):
+    sam, nodes = synthetic
+    ref = _ref_analysis(reference_binary, mode, sam, nodes, sam.parent)
+    got = _my_analysis(mode, sam, nodes)
+    assert got == ref
+
+
+@pytest.mark.parametrize("mode", ["ana_meta", "ana_meta_base"])
+def test_demo_parity(reference_binary, synthetic, tmp_path, mode):
+    """Golden demo SAM through both implementations."""
+    import shutil
+    from pathlib import Path
+
+    golden = Path(__file__).parent / "golden"
+    sam = tmp_path / "demo.sam"
+    shutil.copy(golden / "demo_viral.sam", sam)
+    nodes = golden / "nodes.dmp"
+    ref = _ref_analysis(reference_binary, mode, sam, nodes, tmp_path)
+    got = _my_analysis(mode, sam, nodes)
+    assert got == ref
