@@ -1,0 +1,84 @@
+"""DeviceIndex: HBM-resident gather tables derived from IndexData.
+
+Layout choices (TPU-first, see DESIGN.md):
+  - fm_blocks: (n_blocks, 9) uint32 — per 32 BWT rows: 5 cumulative char
+    counts + 32 chars packed 4-bit (nibble k of word k>>3). Batched rank =
+    one 9-word row gather + vectorized nibble counting, vs the reference's
+    168-byte block + 16-bit popcount tables (src/bwt.c:43-65).
+  - lf: uint32[n_rows] — precomputed LF step for each row's own char; the
+    reference recomputes this per step with two table walks (occ + rank).
+  - row_pos: int32[n_rows] — full SA (text position per row): seed location
+    is a single gather, replacing the reference's LF-walk to sparse SA
+    samples (src/cly.c:737-760).
+  - hash13: uint32[2^26+1] — 13-mer -> row interval starts.
+  - ekmer0/1: uint8 bit tables for the existence filter.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK = 32  # rows per rank checkpoint
+
+
+@dataclasses.dataclass
+class DeviceIndex:
+    fm_blocks: jnp.ndarray   # (n_blocks, 9) uint32
+    lf: jnp.ndarray          # (n_rows,) uint32
+    row_char: jnp.ndarray    # (n_rows,) uint8
+    row_pos: jnp.ndarray     # (n_rows,) int32
+    hash13: jnp.ndarray      # (2^26+1,) uint32
+    rank: jnp.ndarray        # (6,) uint32
+    ekmer0: jnp.ndarray
+    ekmer1: jnp.ndarray
+    n_rows: int
+    dollar_pos: int
+    len_e_kmer: int
+    single_base_max: int
+    mask_bits: int
+
+    @classmethod
+    def build(cls, idx) -> "DeviceIndex":
+        chars = idx.row_char
+        n = len(chars)
+        n_blocks = (n + BLOCK - 1) // BLOCK
+        blocks = np.zeros((n_blocks, 9), dtype=np.uint32)
+        counts = np.zeros((5, n + 1), dtype=np.int64)
+        for c in range(5):
+            np.cumsum(chars == c, out=counts[c, 1:])
+        for c in range(5):
+            blocks[:, c] = counts[c, : n_blocks * BLOCK : BLOCK].astype(np.uint32)
+        padded = np.concatenate(
+            [chars, np.full(n_blocks * BLOCK - n, 0xF, dtype=np.uint8)])
+        nib = padded.reshape(n_blocks, 4, 8).astype(np.uint32)
+        words = np.zeros((n_blocks, 4), dtype=np.uint32)
+        for k in range(8):
+            words |= nib[:, :, k] << np.uint32(4 * k)
+        blocks[:, 5:9] = words
+
+        occ = counts  # alias
+        rank = np.zeros(6, dtype=np.uint32)
+        rank[:] = idx.rank.astype(np.uint64) & 0xFFFFFFFF
+        # LF for each row's own char (occ + rank, '$' handled like occ():
+        # returns DOLLOR_POS then callers add rank[5], src/bwt.c:55)
+        cidx = np.minimum(chars, 4).astype(np.int64)
+        lf = occ[cidx, np.arange(n)] + idx.rank[cidx]
+        dollar = chars == 5
+        lf[dollar] = idx.dollar_pos + idx.rank[5]
+        return cls(
+            fm_blocks=jnp.asarray(blocks),
+            lf=jnp.asarray(lf.astype(np.uint32)),
+            row_char=jnp.asarray(chars),
+            row_pos=jnp.asarray(idx.row_pos.astype(np.int32)),
+            hash13=jnp.asarray(idx.hash13.astype(np.uint32)),
+            rank=jnp.asarray(rank),
+            ekmer0=jnp.asarray(idx.ekmer0),
+            ekmer1=jnp.asarray(idx.ekmer1),
+            n_rows=n,
+            dollar_pos=idx.dollar_pos,
+            len_e_kmer=idx.len_e_kmer,
+            single_base_max=idx.single_base_max,
+            mask_bits=int(idx.e_hash_mask).bit_length(),
+        )

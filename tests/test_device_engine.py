@@ -1,0 +1,162 @@
+"""Device kernel parity vs the gold engine (runs on CPU backend in tests;
+the same kernels run unchanged on TPU)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from desamba_tpu.constants import (  # noqa: E402
+    FORWARD,
+    MEM_SEARCH_FAST,
+    MIN_MEM_LEN_FAST,
+    PRE_IDX_MASK,
+    REVERSE,
+    SP_SET_CAP,
+)
+
+
+def test_u64_hash_matches_numpy():
+    from desamba_tpu.engine.device import u64ops as u
+    from desamba_tpu.index.kmers import hash64_1, hash64_2
+
+    k = np.array([0, 1, 12345, (1 << 62) + 3, 0xDEADBEEFCAFEBABE,
+                  (1 << 40) - 1], dtype=np.uint64)
+    hi, lo = u.from_u64_np(k)
+    for dev_fn, np_fn in ((u.hash64_1, hash64_1), (u.hash64_2, hash64_2)):
+        dh = dev_fn((jnp.asarray(hi), jnp.asarray(lo)))
+        got = u.to_u64_np(np.asarray(dh[0]), np.asarray(dh[1]))
+        assert np.array_equal(got, np_fn(k))
+
+
+@pytest.fixture(scope="module")
+def device_setup(small_my_index):
+    from desamba_tpu.engine.device.arrays import DeviceIndex
+    from desamba_tpu.engine.gold.fm import FM
+
+    return small_my_index, DeviceIndex.build(small_my_index), FM(small_my_index)
+
+
+def _random_reads(idx, n, rng):
+    """Reads sampled from the reference with noise (so probes hit)."""
+    from desamba_tpu.engine.gold.mapseed import get_ref
+
+    reads = []
+    total = int(idx.ref_off[-1] + idx.ref_len[-1])
+    for _ in range(n):
+        ln = int(rng.integers(200, 1200))
+        st = int(rng.integers(0, total - ln))
+        seq = get_ref(idx.ref_bin, st, ln, True).copy()
+        nerr = int(ln * 0.1)
+        pos = rng.integers(0, ln, size=nerr)
+        seq[pos] = (seq[pos] + rng.integers(1, 4, size=nerr)) % 4
+        reads.append(seq.astype(np.uint8))
+    return reads
+
+
+def test_bloom_and_islands_parity(device_setup):
+    from desamba_tpu.engine.device.islands import bloom_hit_kernel, segment_islands
+    from desamba_tpu.engine.gold.islands import (
+        exist_mask,
+        search_islands,
+        store_kmers_mask,
+    )
+
+    idx, dix, _ = device_setup
+    rng = np.random.default_rng(3)
+    reads = _random_reads(idx, 16, rng)
+    L = max(len(r) for r in reads)
+    codes = np.zeros((len(reads), L), dtype=np.uint8)
+    lens = np.array([len(r) for r in reads], dtype=np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = r
+    hit = np.asarray(bloom_hit_kernel(
+        jnp.asarray(codes), jnp.asarray(lens), dix.ekmer0, dix.ekmer1,
+        idx.len_e_kmer, idx.single_base_max, dix.mask_bits))
+    for i, r in enumerate(reads):
+        n_k = len(r) - idx.len_e_kmer + 1
+        km = store_kmers_mask(r, n_k, idx.len_e_kmer, idx.single_base_max)
+        gold_hit = exist_mask(km, idx.ekmer0, idx.ekmer1, idx.e_hash_mask)
+        assert np.array_equal(hit[i, :n_k], gold_hit)
+        for d in (FORWARD, REVERSE):
+            gold_seeds = search_islands(gold_hit, d)
+            dev_seeds = segment_islands(hit[i], n_k, d)
+            assert [s[:2] for s in dev_seeds] == [s[:2] for s in gold_seeds]
+
+
+def test_mem_probe_parity(device_setup):
+    """Batched MEM probes == gold bwt_mem_search incl. SP_SET dedup."""
+    from desamba_tpu.engine.device.fm import mem_probe
+    from desamba_tpu.engine.gold.fm import MAX_U64, SpSet, bwt_mem_search
+    from desamba_tpu.engine.gold.islands import (
+        exist_mask,
+        search_islands,
+        store_kmers_mask,
+    )
+
+    idx, dix, fm = device_setup
+    rng = np.random.default_rng(5)
+    reads = _random_reads(idx, 5, rng)
+    l_ek = idx.len_e_kmer
+    lanes = []  # (codes_row, kmer values, seed)
+    for r in reads:
+        n_k = len(r) - l_ek + 1
+        km = store_kmers_mask(r, n_k, l_ek, idx.single_base_max)
+        gold_hit = exist_mask(km, idx.ekmer0, idx.ekmer1, idx.e_hash_mask)
+        for s in search_islands(gold_hit, FORWARD):
+            lanes.append((r, km, s))
+    assert lanes, "fixture produced no islands"
+    N = len(lanes)
+    L = max(len(r) for r, _, _ in lanes)
+    codes = np.zeros((N, L), dtype=np.uint8)
+    for i, (r, _, _) in enumerate(lanes):
+        codes[i, : len(r)] = r
+    codes_d = jnp.asarray(codes)
+    min_index = MIN_MEM_LEN_FAST - l_ek
+    j_state = np.array([s[1] - 1 for _, _, s in lanes])
+    gold_sets = [SpSet() for _ in range(N)]
+    spset = jnp.zeros((N, SP_SET_CAP), jnp.uint32)
+    spcount = jnp.zeros((N,), jnp.int32)
+    nprobes = 0
+    rounds = 0
+    while rounds < 6:
+        rounds += 1
+        act_i = np.flatnonzero(j_state >= min_index)
+        if len(act_i) == 0:
+            break
+        str_idx = np.zeros(N, dtype=np.int32)
+        pre_v = np.zeros(N, dtype=np.int32)
+        act = np.zeros(N, dtype=bool)
+        for i in act_i:
+            _, km, s = lanes[i]
+            ki = s[0] + j_state[i]
+            pre_v[i] = int(km[ki]) & PRE_IDX_MASK
+            str_idx[i] = ki + l_ek - 1
+            act[i] = True
+        out = mem_probe(dix.fm_blocks, dix.lf, dix.row_char, dix.rank,
+                        dix.hash13, codes_d, jnp.asarray(str_idx),
+                        jnp.asarray(pre_v), jnp.asarray(act), spset, spcount,
+                        MEM_SEARCH_FAST, MIN_MEM_LEN_FAST - 1)
+        (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
+         spset, spcount) = out
+        host = [np.asarray(x) for x in
+                (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid)]
+        spset_h = np.asarray(spset)
+        spcount_h = np.asarray(spcount)
+        for i in act_i:
+            nprobes += 1
+            m_r = []
+            bwt_mem_search(fm, lanes[i][0], int(str_idx[i]), int(pre_v[i]),
+                           MEM_SEARCH_FAST, MIN_MEM_LEN_FAST - 1,
+                           int(str_idx[i]), gold_sets[i], m_r)
+            got = [(int(host[0][i, k]), int(host[1][i, k]),
+                    int(host[2][i, k]) if host[3][i, k] else MAX_U64,
+                    int(host[4][i, k]))
+                   for k in range(MEM_SEARCH_FAST) if host[5][i, k]]
+            exp = [(r.match_len, r.sp, r.sa_sp, r.sa_sp_l) for r in m_r]
+            assert got == exp, f"lane {i} j {j_state[i]}"
+            gold_rows = [x & 0xFFFFFFFF for x in gold_sets[i].items]
+            dev_rows = [int(x) for x in spset_h[i][: spcount_h[i]]]
+            assert gold_rows == dev_rows, f"spset lane {i}"
+            j_state[i] -= 2 if not m_r else 3
+    assert nprobes > 30
