@@ -19,13 +19,14 @@ from ...constants import FORWARD, REVERSE, SEED_RANGE, STEP_EK
 from . import u64ops as u
 
 
-@functools.partial(jax.jit, static_argnames=("l_ek", "single_base_max", "mask_bits"))
-def bloom_hit_kernel(codes, lengths, ek0, ek1, l_ek: int,
-                     single_base_max: int, mask_bits: int):
-    """codes: (B, L) uint8 2-bit reads (padded); lengths: (B,) int32.
+def ekmer_probe_indices(codes, lengths, l_ek: int, single_base_max: int,
+                        mask_bits: int):
+    """Per-position existence-probe addresses for a padded read batch.
 
-    Returns hit: (B, L - l_ek + 1) bool — e-kmer passes the complexity
-    filter and both existence-table probes.
+    codes: (B, L) uint8 2-bit reads; lengths: (B,) int32.
+    Returns (byte1, bit1, byte2, bit2, valid): byte/bit addresses into the
+    two existence tables plus the complexity/length validity mask, all
+    (B, L - l_ek + 1). Split out so sharded probes (parallel/) reuse it.
     """
     B, L = codes.shape
     n_k = L - l_ek + 1
@@ -52,26 +53,38 @@ def bloom_hit_kernel(codes, lengths, ek0, ek1, l_ek: int,
         cnt = cs0[:, l_ek : n_k + l_ek] - cs0[:, :n_k]
         bad = bad | (cnt >= single_base_max)
     kzero = (hi == 0) & (lo == 0)
-    # hashes + bit probes
     mask64 = (1 << mask_bits) - 1
     kp = (hi, lo)
     h1 = u.and_const(u.hash64_1(kp), mask64)
     h2 = u.and_const(u.hash64_2(kp), mask64)
 
-    def probe(table, h):
+    def addr(h):
         hhi, hlo = h
-        # bit index < 2^37: byte index = h >> 3 fits int32 for tables
-        # up to 2^34 bytes only if < 2^31; current tables are <= 2^27 bytes
+        # bit index < 2^37: byte index fits int32 for tables <= 2^31 bytes
         byte_idx = ((hhi << 29) | (hlo >> 3)).astype(jnp.int32)
         bit = (jnp.uint8(7) - (hlo & 7).astype(jnp.uint8))
-        byte = table[byte_idx]
-        return ((byte >> bit) & 1).astype(bool)
+        return byte_idx, bit
 
-    hit = probe(ek0, h1) & probe(ek1, h2) & ~bad & ~kzero
-    # mask positions beyond each read's kmer count
+    b1, s1 = addr(h1)
+    b2, s2 = addr(h2)
     pos = jnp.arange(n_k)[None, :]
-    valid = pos < (lengths[:, None] - l_ek + 1)
-    return hit & valid
+    valid = ~bad & ~kzero & (pos < (lengths[:, None] - l_ek + 1))
+    return b1, s1, b2, s2, valid
+
+
+@functools.partial(jax.jit, static_argnames=("l_ek", "single_base_max", "mask_bits"))
+def bloom_hit_kernel(codes, lengths, ek0, ek1, l_ek: int,
+                     single_base_max: int, mask_bits: int):
+    """codes: (B, L) uint8 2-bit reads (padded); lengths: (B,) int32.
+
+    Returns hit: (B, L - l_ek + 1) bool — e-kmer passes the complexity
+    filter and both existence-table probes.
+    """
+    b1, s1, b2, s2, valid = ekmer_probe_indices(
+        codes, lengths, l_ek, single_base_max, mask_bits)
+    hit1 = ((ek0[b1] >> s1) & 1).astype(bool)
+    hit2 = ((ek1[b2] >> s2) & 1).astype(bool)
+    return hit1 & hit2 & valid
 
 
 def segment_islands(hit_row: np.ndarray, n_kmers: int, direction: int) -> list:
