@@ -33,11 +33,36 @@ class DeviceIndex:
     rank: jnp.ndarray        # (6,) uint32
     ekmer0: jnp.ndarray
     ekmer1: jnp.ndarray
+    # locate / anchor fan-out tables (engine/device/mapseed.py)
+    uni_start: jnp.ndarray   # (n_uni + 1,) int32 text start per unitig
+    uni_len: jnp.ndarray     # (n_uni + 1,) int32
+    uni_ref_list: jnp.ndarray  # (n_uni + 1,) int32 CSR into rp_*
+    rp_global_off: jnp.ndarray  # (n_occ,) int32
+    rp_ref_id: jnp.ndarray   # (n_occ,) int32
+    ref_off: jnp.ndarray     # (n_ref,) int32
+    ref_len_arr: jnp.ndarray  # (n_ref,) int32
+    ref_bin: jnp.ndarray     # packed 2-bit reference, uint8
+    q_mem: jnp.ndarray       # (Q_MEM_MAX,) int32 MAPQ tables
+    q_lv: jnp.ndarray        # (20, 20) int32
     n_rows: int
     dollar_pos: int
     len_e_kmer: int
     single_base_max: int
     mask_bits: int
+    text_len: int
+    n_uni: int
+    n_bases: int
+
+    def index_refs(self):
+        from .mapseed import IndexRefs
+
+        return IndexRefs(
+            lf=self.lf, row_char=self.row_char, row_pos=self.row_pos,
+            uni_start=self.uni_start, uni_len=self.uni_len,
+            uni_ref_list=self.uni_ref_list,
+            rp_global_off=self.rp_global_off, rp_ref_id=self.rp_ref_id,
+            ref_off=self.ref_off, ref_bin=self.ref_bin,
+            text_len=self.text_len, n_uni=self.n_uni, n_bases=self.n_bases)
 
     @classmethod
     def build(cls, idx) -> "DeviceIndex":
@@ -67,6 +92,9 @@ class DeviceIndex:
         lf = occ[cidx, np.arange(n)] + idx.rank[cidx]
         dollar = chars == 5
         lf[dollar] = idx.dollar_pos + idx.rank[5]
+        from ..gold.mapq import mapq_tables
+
+        q_mem, q_lv = mapq_tables(len(idx.ref_bin) * 4)
         return cls(
             fm_blocks=jnp.asarray(blocks),
             lf=jnp.asarray(lf.astype(np.uint32)),
@@ -76,9 +104,23 @@ class DeviceIndex:
             rank=jnp.asarray(rank),
             ekmer0=jnp.asarray(idx.ekmer0),
             ekmer1=jnp.asarray(idx.ekmer1),
+            uni_start=jnp.asarray(idx.uni_start[: idx.n_uni + 1].astype(np.int32)),
+            uni_len=jnp.asarray(idx.uni_len[: idx.n_uni + 1].astype(np.int32)),
+            uni_ref_list=jnp.asarray(
+                idx.uni_ref_list[: idx.n_uni + 1].astype(np.int32)),
+            rp_global_off=jnp.asarray(idx.rp_global_off.astype(np.int32)),
+            rp_ref_id=jnp.asarray(idx.rp_ref_id.astype(np.int32)),
+            ref_off=jnp.asarray(idx.ref_off.astype(np.int32)),
+            ref_len_arr=jnp.asarray(idx.ref_len.astype(np.int32)),
+            ref_bin=jnp.asarray(idx.ref_bin),
+            q_mem=jnp.asarray(q_mem.astype(np.int32)),
+            q_lv=jnp.asarray(q_lv.astype(np.int32)),
             n_rows=n,
             dollar_pos=idx.dollar_pos,
             len_e_kmer=idx.len_e_kmer,
             single_base_max=idx.single_base_max,
             mask_bits=int(idx.e_hash_mask).bit_length(),
+            text_len=int(idx.text_len),
+            n_uni=int(idx.n_uni),
+            n_bases=len(idx.ref_bin) * 4,
         )

@@ -1,0 +1,416 @@
+"""Batched map_seed: locate + LV extend + reference fan-out on device.
+
+Device port of engine/gold/mapseed.py (itself a faithful port of
+src/cly.c:435-939). One lane = one MemRst to map; all control flow is
+masked vector ops + bounded `lax.while_loop`s so thousands of lanes run
+lockstep.
+
+Integer conventions: positions/lengths int32; the reference's uint32 wrap
+quirks (l_max_suf, negative uni_offset) are emulated with uint32 casts.
+Reference coordinates assume < 2^31 (viral/demo scale; the sharded large
+index path re-bases offsets per shard).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...constants import (
+    LV_L,
+    MIN_S_1,
+    MIN_S_2,
+    MIN_UNI_L,
+    SA_MASK,
+)
+from .lv import lv_batch
+
+GARBAGE = 200
+I32 = jnp.int32
+U32 = jnp.uint32
+
+# anchor record field order (int32 columns)
+A_FIELDS = (
+    "mtch_len", "score", "left_len", "left_ed", "rigt_len", "rigt_ed",
+    "direction", "global_offset", "ref_id", "ref_offset", "index_in_read",
+    "seed_id",
+)
+A_NF = len(A_FIELDS)
+
+
+class IndexRefs(NamedTuple):
+    """Device index arrays used by map_seed (a subset of DeviceIndex).
+
+    Registered as a pytree with the scalar geometry (text_len, n_uni,
+    n_bases) as STATIC aux data so jit treats them as compile-time
+    constants (slices/bounds depend on them).
+    """
+    lf: jnp.ndarray            # (n_rows,) uint32
+    row_char: jnp.ndarray      # (n_rows,) uint8
+    row_pos: jnp.ndarray       # (n_rows,) int32
+    uni_start: jnp.ndarray     # (n_uni + 1,) int32 (text start per unitig)
+    uni_len: jnp.ndarray       # (n_uni + 1,) int32
+    uni_ref_list: jnp.ndarray  # (n_uni + 1,) int32 CSR into rp_*
+    rp_global_off: jnp.ndarray  # (n_occ,) int32
+    rp_ref_id: jnp.ndarray     # (n_occ,) int32
+    ref_off: jnp.ndarray       # (n_ref,) int32
+    ref_bin: jnp.ndarray       # packed 2-bit reference, uint8
+    text_len: int
+    n_uni: int
+    n_bases: int               # len(ref_bin) * 4
+
+
+_N_ARRAYS = 10
+
+
+def _ixr_flatten(ix):
+    return tuple(ix[:_N_ARRAYS]), tuple(ix[_N_ARRAYS:])
+
+
+def _ixr_unflatten(aux, children):
+    return IndexRefs(*children, *aux)
+
+
+jax.tree_util.register_pytree_node(IndexRefs, _ixr_flatten, _ixr_unflatten)
+
+
+def qslice13(codes_fr, buf_len, ridx, start, step):
+    """13-char read-buffer window: gold qslice (GARBAGE outside buffer).
+
+    codes_fr: (B, 2*Lmax) F+R buffer; buf_len: (B,) = 2*read_len;
+    ridx/start: (N,); step: +1/-1. Returns (N, 13) uint8.
+    """
+    ar = jnp.arange(LV_L + 1, dtype=I32)[None, :]
+    idx = start[:, None] + step * ar
+    ok = (idx >= 0) & (idx < buf_len[ridx][:, None])
+    got = codes_fr[ridx[:, None], jnp.clip(idx, 0, codes_fr.shape[1] - 1)]
+    return jnp.where(ok, got, jnp.uint8(GARBAGE))
+
+
+def get_ref13(ref_bin, n_bases, offset, length, forward: bool):
+    """13-char packed-reference window (gold get_ref semantics).
+
+    offset: (N,) int32; length: (N,) — chars beyond `length` are 0-filled
+    like gold's np.empty... actually gold returns exactly `length` chars;
+    callers only read [:length]. Out-of-range indices are clamped.
+    """
+    off = jnp.maximum(offset, 0)
+    ar = jnp.arange(LV_L + 1, dtype=I32)[None, :]
+    idx = off[:, None] + (ar if forward else -ar)
+    idx = jnp.clip(idx, 0, n_bases - 1)
+    byte = ref_bin[idx >> 2]
+    shift = (6 - ((idx & 3) << 1)).astype(jnp.uint8)
+    chars = (byte >> shift) & jnp.uint8(3)
+    return jnp.where(ar < length[:, None], chars, jnp.uint8(0))
+
+
+def _leading_matches(t, q, limit):
+    """Count of leading positions where t == q, capped at limit (N,)."""
+    ar = jnp.arange(LV_L + 1, dtype=I32)[None, :]
+    agree = (t == q) & (ar < limit[:, None])
+    mask = jnp.sum(agree.astype(U32) << ar.astype(U32), axis=1)
+    low = (~mask) & (mask + U32(1))  # isolate lowest zero bit
+    m = low - U32(1)
+    m = m - ((m >> 1) & U32(0x55555555))
+    m = (m & U32(0x33333333)) + ((m >> 2) & U32(0x33333333))
+    m = (m + (m >> 4)) & U32(0x0F0F0F0F)
+    cnt = ((m * U32(0x01010101)) >> 24).astype(I32)
+    return jnp.minimum(cnt, limit)
+
+
+def get_uni(ix: IndexRefs, row, search_l, active):
+    """gold Locator.get_uni: (row, search_l) -> (uni, uni_offset, g_off)."""
+    row = row.astype(I32)
+    p1 = (ix.row_pos[row] - 1) % ix.text_len
+    u = jnp.searchsorted(ix.uni_start[1 : ix.n_uni + 1], p1, side="right")
+    u = u.astype(I32)
+    off = p1 - ix.uni_start[u]
+    uoff = off + search_l + 1
+
+    def cond(st):
+        u, uoff, act = st
+        return (act & (uoff >= ix.uni_len[jnp.minimum(u, ix.n_uni)])).any()
+
+    def body(st):
+        u, uoff, act = st
+        go = act & (uoff >= ix.uni_len[jnp.minimum(u, ix.n_uni)])
+        uoff = jnp.where(go, uoff - ix.uni_len[jnp.minimum(u, ix.n_uni)] - 1, uoff)
+        u = jnp.where(go, u + 1, u)
+        return u, uoff, act
+
+    walk_act = active & (search_l > 0)
+    u, uoff, _ = jax.lax.while_loop(cond, body, (u, uoff, walk_act))
+    # search_l <= 0 and uoff < 0: uint32 wrap (gold's unreachable-in-C path)
+    wrap = active & (search_l <= 0) & (uoff < 0)
+    uoff = jnp.where(wrap, uoff.astype(U32).astype(I32), uoff)
+    g = ix.rp_global_off[ix.uni_ref_list[u]] + uoff
+    return u, uoff, g
+
+
+def get_new_ed(ix: IndexRefs, codes_fr, buf_len, ridx, base, q_off, t_off,
+               l_read, is_fwd: bool, active, q_lv):
+    """gold get_new_ed: re-extension against the true reference.
+
+    Returns (ed, length, l_mem_ext), each (N,) int32.
+    """
+    if is_fwd:
+        q_off = jnp.maximum(q_off, 0)
+        max_len = q_off
+    else:
+        max_len = l_read - q_off
+    length = jnp.minimum(LV_L, max_len)
+    l_ext = jnp.zeros_like(q_off)
+
+    def gather_q(q_off_c, l_ext_c, length_c):
+        if is_fwd:
+            return qslice13(codes_fr, buf_len, ridx, base + q_off_c, -1)
+        return qslice13(codes_fr, buf_len, ridx, base + q_off_c + l_ext_c, 1)
+
+    q = gather_q(q_off, l_ext, length)
+    t = get_ref13(ix.ref_bin, ix.n_bases, t_off, length, not is_fwd)
+    enter = active & (length > 0) & (t[:, 0] == q[:, 0])
+
+    def cond(st):
+        return st[6].any()
+
+    def body(st):
+        q_off_c, t_off_c, max_len_c, length_c, l_ext_c, _q, run, _t = st
+        qv = gather_q(q_off_c, l_ext_c, length_c)
+        tv = get_ref13(ix.ref_bin, ix.n_bases, t_off_c, length_c, not is_fwd)
+        mtc = _leading_matches(tv, qv, length_c)
+        stop = mtc <= 0
+        adv = run & ~stop
+        l_ext_n = jnp.where(adv, l_ext_c + mtc, l_ext_c)
+        max_len_n = jnp.where(adv, max_len_c - mtc, max_len_c)
+        length_n = jnp.where(adv, jnp.minimum(LV_L, max_len_n), length_c)
+        if is_fwd:
+            q_off_n = jnp.where(adv, q_off_c - mtc, q_off_c)
+            t_off_n = jnp.where(adv, t_off_c - mtc, t_off_c)
+        else:
+            q_off_n = q_off_c
+            t_off_n = jnp.where(adv, t_off_c + mtc, t_off_c)
+        # re-gather for the next check / final LV inputs
+        qn = gather_q(q_off_n, l_ext_n, length_n)
+        tn = get_ref13(ix.ref_bin, ix.n_bases, t_off_n, length_n, not is_fwd)
+        cont = adv & (length_n > 0)
+        q_out = jnp.where(adv[:, None], qn, _q)
+        t_out = jnp.where(adv[:, None], tn, _t)
+        return (q_off_n, t_off_n, max_len_n, length_n, l_ext_n, q_out, cont,
+                t_out)
+
+    st = (q_off, t_off, max_len, length, l_ext, q, enter, t)
+    st = jax.lax.while_loop(cond, body, st)
+    _, _, _, length, l_ext, q, _, t = st
+    ed = lv_batch(t[:, :LV_L + 1], q[:, :LV_L + 1], jnp.clip(length, 0, LV_L))
+    return ed, length, l_ext
+
+
+def map_seed_lanes(ix: IndexRefs, codes_fr, buf_len, q_mem, q_lv,
+                   ridx, base, read_len, direction, seed_id,
+                   sp_row, l_m0, sa_ok, sa_row, sa_l, q_off, active,
+                   anchors, a_cnt, a_cap: int, occ_cap: int = 1000):
+    """One map_seed per lane. Mutates (anchors, a_cnt); returns them plus
+    per-lane max score (gold map_seed return value).
+
+    anchors: (N, a_cap, A_NF) int32; a_cnt: (N,) int32.
+    """
+    N = ridx.shape[0]
+    lanes = jnp.arange(N, dtype=I32)
+    l_m = l_m0.astype(I32)
+
+    # ---- step 1: prefix ---------------------------------------------------
+    l_pre0 = jnp.minimum(q_off + 1, LV_L)
+    q_pre = qslice13(codes_fr, buf_len, ridx, base + q_off, -1)
+
+    # LF pre-walk for lanes without an SA sample (collect <= 12 chars)
+    need_walk = active & ~sa_ok
+    b_p = sp_row.astype(I32)
+    s_l = jnp.zeros((N,), I32)
+    walk_chars = jnp.zeros((N, LV_L + 1), jnp.uint8)
+    hash_hit = (b_p & SA_MASK) == 0
+
+    def wcond(st):
+        return st[4].any()
+
+    def wbody(st):
+        b_p, s_l, wch, _hit, run = st
+        c = ix.row_char[b_p].astype(I32)
+        is_sep = c == 4
+        new_bp = ix.lf[b_p].astype(I32)
+        step = run & ~is_sep
+        wch = jnp.where(
+            (jnp.arange(LV_L + 1)[None, :] == s_l[:, None]) & step[:, None],
+            c.astype(jnp.uint8)[:, None], wch)
+        s_l2 = jnp.where(step, s_l + 1, s_l)
+        b_p2 = jnp.where(step, new_bp, b_p)
+        sampled = (b_p2 & SA_MASK) == 0
+        cont = step & ~sampled & (s_l2 < l_pre0)
+        return b_p2, s_l2, wch, sampled, cont
+
+    init_run = need_walk & ~hash_hit
+    st = (b_p, s_l, walk_chars, hash_hit, init_run)
+    b_p, s_l, walk_chars, _, _ = jax.lax.while_loop(wcond, wbody, st)
+    walk_sampled = (b_p & SA_MASK) == 0
+
+    # locate: sampled lanes (either from sa or from the walk)
+    loc_row = jnp.where(sa_ok, sa_row.astype(I32), b_p)
+    loc_sl = jnp.where(sa_ok, sa_l, s_l)
+    have_uni1 = active & (sa_ok | walk_sampled)
+    uni, u_off, t_off = get_uni(ix, loc_row, loc_sl, have_uni1)
+
+    dead = jnp.zeros((N,), bool)
+    # MIN_UNI_L check for lanes that already have a unitig
+    short_uni = have_uni1 & (ix.uni_len[jnp.minimum(uni, ix.n_uni)] < MIN_UNI_L)
+    dead = dead | short_uni
+
+    l_pre = jnp.where(have_uni1, jnp.minimum(l_pre0, u_off), s_l)
+    t_pre_ref = get_ref13(ix.ref_bin, ix.n_bases, t_off - 1, l_pre, False)
+    t_pre = jnp.where(have_uni1[:, None], t_pre_ref, walk_chars)
+    d_pre = lv_batch(t_pre[:, :LV_L + 1], q_pre[:, :LV_L + 1],
+                     jnp.clip(l_pre, 0, LV_L))
+    s = q_mem[jnp.clip(l_m, 0, q_mem.shape[0] - 1)] + q_lv[d_pre, l_pre]
+    early1 = active & (s < MIN_S_1) & (l_pre == LV_L) & ~have_uni1
+    dead = dead | early1
+
+    # ---- step 2: continue LF walk to a sample for uni-less lanes ----------
+    need_walk2 = active & ~dead & ~have_uni1
+
+    def w2cond(st):
+        return st[2].any()
+
+    def w2body(st):
+        b_p, s_l, run = st
+        new_bp = ix.lf[b_p].astype(I32)
+        b_p2 = jnp.where(run, new_bp, b_p)
+        s_l2 = jnp.where(run, s_l + 1, s_l)
+        cont = run & ((b_p2 & SA_MASK) != 0)
+        return b_p2, s_l2, cont
+
+    b_p, s_l, _ = jax.lax.while_loop(
+        w2cond, w2body, (b_p, s_l, need_walk2 & ((b_p & SA_MASK) != 0)))
+    uni2, u_off2, t_off2 = get_uni(ix, b_p, s_l, need_walk2)
+    uni = jnp.where(need_walk2, uni2, uni)
+    u_off = jnp.where(need_walk2, u_off2, u_off)
+    t_off = jnp.where(need_walk2, t_off2, t_off)
+    short2 = need_walk2 & (ix.uni_len[jnp.minimum(uni, ix.n_uni)] < MIN_UNI_L)
+    dead = dead | short2
+
+    # ---- suffix greedy extension + LV -------------------------------------
+    live = active & ~dead
+    q_off_r = q_off + l_m + 1
+    uml = (ix.uni_len[jnp.minimum(uni, ix.n_uni)] - u_off - l_m).astype(U32)
+    rml = (read_len - q_off_r).astype(U32)
+    l_max_suf = jnp.minimum(uml, rml)
+    has_suf = live & (l_max_suf != U32(0))
+    l_suf = jnp.minimum(l_max_suf, U32(LV_L)).astype(I32)
+    l_suf = jnp.where(has_suf, l_suf, 0)
+    q_suf_i = q_off_r
+    t_suf = get_ref13(ix.ref_bin, ix.n_bases, t_off + l_m, l_suf, True)
+    q_suf = qslice13(codes_fr, buf_len, ridx, base + q_suf_i, 1)
+    enter = has_suf & (l_suf > 0) & (t_suf[:, 0] == q_suf[:, 0])
+
+    def scond(st):
+        return st[7].any()
+
+    def sbody(st):
+        l_m_c, s_c, lms_c, l_suf_c, q_i_c, t_c, q_c, run = st
+        mtc = _leading_matches(t_c, q_c, l_suf_c)
+        adv = run & (mtc > 0)
+        l_m_n = jnp.where(adv, l_m_c + mtc, l_m_c)
+        s_n = jnp.where(
+            adv,
+            q_mem[jnp.clip(l_m_n, 0, q_mem.shape[0] - 1)] + q_lv[d_pre, l_pre],
+            s_c)
+        lms_n = jnp.where(adv, lms_c - mtc.astype(U32), lms_c)
+        l_suf_n = jnp.where(adv, jnp.minimum(lms_n, U32(LV_L)).astype(I32),
+                            l_suf_c)
+        q_i_n = jnp.where(adv, q_i_c + mtc, q_i_c)
+        t_n = get_ref13(ix.ref_bin, ix.n_bases, t_off + l_m_n, l_suf_n, True)
+        q_n = qslice13(codes_fr, buf_len, ridx, base + q_i_n, 1)
+        t_out = jnp.where(adv[:, None], t_n, t_c)
+        q_out = jnp.where(adv[:, None], q_n, q_c)
+        cont = adv & (l_suf_n > 0)
+        return l_m_n, s_n, lms_n, l_suf_n, q_i_n, t_out, q_out, cont
+
+    st = (l_m, s, l_max_suf, l_suf, q_suf_i, t_suf, q_suf, enter)
+    st = jax.lax.while_loop(scond, sbody, st)
+    l_m, s, l_max_suf, l_suf, q_suf_i, t_suf, q_suf, _ = st
+
+    d_suf = lv_batch(t_suf[:, :LV_L + 1], q_suf[:, :LV_L + 1],
+                     jnp.clip(l_suf, 0, LV_L))
+    d_suf = jnp.where(has_suf, d_suf, 0)
+    l_suf = jnp.where(has_suf, l_suf, 0)
+    s = jnp.where(has_suf, s + q_lv[d_suf, l_suf], s)
+    early2 = live & (s <= MIN_S_2) & (l_suf == LV_L)
+    dead = dead | early2
+
+    # ---- fan out over reference occurrences -------------------------------
+    live = active & ~dead & (s > 0)
+    uni_c = jnp.minimum(uni, ix.n_uni)
+    rl_s = ix.uni_ref_list[uni_c]
+    rl_e = ix.uni_ref_list[jnp.minimum(uni_c + 1, ix.n_uni)]
+    n_occ = rl_e - rl_s
+    huge = live & (n_occ > 50) & (n_occ >= 1000)
+    fan = live & ~huge
+    ref_search_l = (l_pre < LV_L) | (d_pre == 0)
+    ref_search_r = (l_suf < LV_L) | (d_suf == 0)
+    any_research = ref_search_l | ref_search_r
+
+    max_s = jnp.zeros((N,), I32)
+
+    def fcond(st):
+        return st[4].any()
+
+    def fbody(st):
+        anchors_c, a_cnt_c, max_s_c, ci, run = st
+        cic = jnp.clip(ci, 0, ix.rp_global_off.shape[0] - 1)
+        g_off = ix.rp_global_off[cic]
+        a_ll, a_le = l_pre, d_pre
+        a_rl, a_re = l_suf, d_suf
+        ed_l, len_l, lx_l = get_new_ed(
+            ix, codes_fr, buf_len, ridx, base, q_off, g_off + u_off - 1,
+            read_len, True, run & ref_search_l, q_lv)
+        lx_l = jnp.where(ref_search_l, lx_l, 0)
+        a_ll = jnp.where(ref_search_l, len_l, a_ll)
+        a_le = jnp.where(ref_search_l, ed_l, a_le)
+        a_mtch0 = l_m + lx_l
+        ed_r, len_r, lx_r = get_new_ed(
+            ix, codes_fr, buf_len, ridx, base, q_off + l_m + 1,
+            g_off + u_off + l_m, read_len, False, run & ref_search_r, q_lv)
+        a_rl = jnp.where(ref_search_r, len_r, a_rl)
+        a_re = jnp.where(ref_search_r, ed_r, a_re)
+        a_mtch = jnp.where(any_research,
+                           a_mtch0 + jnp.where(ref_search_r, lx_r, 0), l_m)
+        a_score = jnp.where(
+            any_research,
+            q_mem[jnp.clip(a_mtch, 0, q_mem.shape[0] - 1)]
+            + q_lv[jnp.clip(a_le, 0, q_lv.shape[0] - 1),
+                   jnp.clip(a_ll, 0, q_lv.shape[1] - 1)]
+            + q_lv[jnp.clip(a_re, 0, q_lv.shape[0] - 1),
+                   jnp.clip(a_rl, 0, q_lv.shape[1] - 1)],
+            s)
+        skip = any_research & (a_score < MIN_S_2)
+        emit = run & ~skip
+        max_s_c = jnp.where(emit, jnp.maximum(max_s_c, a_score), max_s_c)
+        ref_id = ix.rp_ref_id[cic]
+        glob = g_off + u_off - jnp.where(ref_search_l, lx_l, 0)
+        rec = jnp.stack([
+            a_mtch, a_score, a_ll, a_le, a_rl, a_re, direction, glob, ref_id,
+            glob - ix.ref_off[ref_id],
+            q_off + 1 - jnp.where(ref_search_l, lx_l, 0), seed_id,
+        ], axis=1)
+        slot = jnp.minimum(a_cnt_c, a_cap - 1)
+        write = emit & (a_cnt_c < a_cap)
+        anchors_c = anchors_c.at[lanes, slot].set(
+            jnp.where(write[:, None], rec, anchors_c[lanes, slot]))
+        a_cnt_c = jnp.where(emit, a_cnt_c + 1, a_cnt_c)  # counts overflow too
+        ci2 = ci + 1
+        run2 = run & (ci2 < rl_e)
+        return anchors_c, a_cnt_c, max_s_c, ci2, run2
+
+    occ_run = fan & (n_occ > 0)
+    st = (anchors, a_cnt, max_s, rl_s, occ_run)
+    anchors, a_cnt, max_s, _, _ = jax.lax.while_loop(fcond, fbody, st)
+    max_s = jnp.where(huge, 50, max_s)
+    return anchors, a_cnt, max_s

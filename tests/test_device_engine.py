@@ -84,6 +84,107 @@ def test_bloom_and_islands_parity(device_setup):
             assert [s[:2] for s in dev_seeds] == [s[:2] for s in gold_seeds]
 
 
+def test_lv_batch_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from desamba_tpu.engine.device.lv import lv_batch
+    from desamba_tpu.engine.gold.mapseed import lv_extd
+
+    rng = np.random.default_rng(0)
+    N = 800
+    lens = rng.integers(0, 13, size=N)
+    ref = rng.integers(0, 4, size=(N, 13)).astype(np.uint8)
+    qry = np.where(rng.random((N, 13)) < 0.7, ref,
+                   rng.integers(0, 4, size=(N, 13))).astype(np.uint8)
+    qry[rng.random((N, 13)) < 0.05] = 200  # out-of-buffer GARBAGE bytes
+    ref[rng.random((N, 13)) < 0.02] = 200
+    got = np.asarray(jax.jit(lv_batch)(
+        jnp.asarray(ref), jnp.asarray(qry), jnp.asarray(lens.astype(np.int32))))
+    for i in range(N):
+        assert got[i] == lv_extd(ref[i], int(lens[i]), qry[i], int(lens[i])), i
+
+
+def test_map_seed_lanes_parity(device_setup):
+    """Replay every gold map_seed call from classifying noisy reads."""
+    import jax
+    import jax.numpy as jnp
+
+    import desamba_tpu.engine.gold.fastslow as FS
+    import desamba_tpu.engine.gold.mapseed as MS
+    from desamba_tpu.engine.device.arrays import DeviceIndex
+    from desamba_tpu.engine.device.mapseed import A_NF, map_seed_lanes
+    from desamba_tpu.engine.gold.classify import ClassifyEngine
+    from desamba_tpu.engine.gold.fm import MAX_U64
+
+    idx, dix, _ = device_setup
+    eng = ClassifyEngine(idx)
+    rng = np.random.default_rng(9)
+    reads = _random_reads(idx, 12, rng)
+    calls, bufs = [], []
+    orig = MS.map_seed
+    rid = [0]
+
+    def wrap(idx_, fm, loc, q_mem, q_lv, m_r, buf, base, read_len, seed_id,
+             direction, anchors, smc):
+        n0 = len(anchors)
+        r = orig(idx_, fm, loc, q_mem, q_lv, m_r, buf, base, read_len,
+                 seed_id, direction, anchors, smc)
+        calls.append(dict(
+            rid=rid[0], sp=m_r.sp, ml=m_r.match_len, sa=m_r.sa_sp,
+            sal=m_r.sa_sp_l, qoff=m_r.read_offset, base=base, rl=read_len,
+            sid=seed_id, dir=direction, ret=r,
+            anchors=[(a.mtch_len, a.score, a.left_len, a.left_ed, a.rigt_len,
+                      a.rigt_ed, a.direction, a.global_offset, a.ref_id,
+                      a.ref_offset, a.index_in_read, a.seed_id)
+                     for a in anchors[n0:]]))
+        return r
+
+    MS.map_seed = wrap
+    FS.map_seed = wrap
+    try:
+        for r in reads:
+            seq = "".join("ACGT"[c] for c in r)
+            eng.classify_read("x", seq, None)
+            bf = r.copy()
+            bufs.append(np.concatenate([bf, (3 - bf)[::-1]]))
+            rid[0] += 1
+    finally:
+        MS.map_seed = orig
+        FS.map_seed = orig
+    assert calls, "no map_seed calls recorded"
+
+    N = len(calls)
+    Lmax = max(len(b) for b in bufs)
+    codes_fr = np.zeros((len(bufs), Lmax), np.uint8)
+    buf_len = np.zeros(len(bufs), np.int32)
+    for i, b in enumerate(bufs):
+        codes_fr[i, : len(b)] = b
+        buf_len[i] = len(b)
+    ixr = dix.index_refs()
+
+    def arr(k):
+        return jnp.asarray(np.array([c[k] for c in calls], dtype=np.int32))
+
+    A_CAP = 64
+    sa_ok = np.array([c["sa"] != MAX_U64 for c in calls])
+    sa_row = np.array([c["sa"] & 0xFFFFFFFF if c["sa"] != MAX_U64 else 0
+                       for c in calls], dtype=np.int64)
+    fn = jax.jit(map_seed_lanes, static_argnames=("a_cap", "occ_cap"))
+    out = fn(ixr, jnp.asarray(codes_fr), jnp.asarray(buf_len), dix.q_mem,
+             dix.q_lv, arr("rid"), arr("base"), arr("rl"), arr("dir"),
+             arr("sid"), arr("sp"), arr("ml"), jnp.asarray(sa_ok),
+             jnp.asarray(sa_row.astype(np.int32)), arr("sal"), arr("qoff"),
+             jnp.ones((N,), bool), jnp.zeros((N, A_CAP, A_NF), jnp.int32),
+             jnp.zeros((N,), jnp.int32), a_cap=A_CAP)
+    anchors_h, acnt_h, maxs_h = [np.asarray(x) for x in out]
+    for i, c in enumerate(calls):
+        got = [tuple(int(x) for x in anchors_h[i, k])
+               for k in range(min(int(acnt_h[i]), A_CAP))]
+        assert got == c["anchors"], f"call {i}"
+        assert int(maxs_h[i]) == c["ret"], f"call {i} ret"
+
+
 def test_mem_probe_parity(device_setup):
     """Batched MEM probes == gold bwt_mem_search incl. SP_SET dedup."""
     from desamba_tpu.engine.device.fm import mem_probe
