@@ -251,9 +251,14 @@ def map_seed(idx, fm: FM, loc: Locator, q_mem, q_lv, m_r: MemRst,
     max_s = 0
 
     while True:  # do { } while(0)
-        # step 1: prefix
+        # step 1: prefix. C sets l_pre = min(q_off+1, LV_L) but the walk
+        # below can overshoot to s_l = 1 when l_pre == 0 (check runs after
+        # the first step); the LV then reads q_pre[0] = buf[base + q_off],
+        # which for q_off = -1 is the byte before this strand's pointer
+        # (cross-strand read or heap garbage). Gather LV_L chars so qslice
+        # models exactly that.
         l_pre = min(q_off + 1, LV_L)
-        q_pre = qslice(buf, base + q_off, l_pre, -1)
+        q_pre = qslice(buf, base + q_off, LV_L, -1)
         t_pre_chars = []
         s_l = 0
         if m_r.sa_sp != MAX_U64:
