@@ -65,13 +65,16 @@ def _spset_insert(sets, counts, vals, do):
 
 @functools.partial(jax.jit, static_argnames=("max_rst", "l_min_mth"))
 def mem_probe(fm_blocks, lf, row_char, rank6, hash13, codes, str_idx, pre_v,
-              active, spset, spcount, max_rst: int, l_min_mth: int):
+              active, spset, spcount, max_rst: int, l_min_mth: int,
+              col_off=None, row_idx=None):
     """One backward MEM probe per lane (bwt_MEM_search, src/cly.c:1388-1447).
 
     codes: (N, L) uint8 per-lane read codes (lane-aligned); str_idx: (N,)
     index of the probe's last char; pre_v: (N,) 13-mer value; l_max_mth is
-    str_idx per the reference. Returns per-lane results for up to max_rst
-    rows plus updated SP_SET state:
+    str_idx per the reference. col_off/row_idx (N,), if given, map lanes
+    onto a shared per-read F+R buffer via (row_idx, col_off + i).
+    Returns per-lane results for up to max_rst rows plus updated SP_SET
+    state:
       res_len:   (N, R) int32 total match length (<l_min invalid; -1000ish
                  on dedup abort, matching the reference)
       res_sp:    (N, R) uint32 final row of each walk
@@ -79,8 +82,12 @@ def mem_probe(fm_blocks, lf, row_char, rank6, hash13, codes, str_idx, pre_v,
       res_sa_l:  (N, R) int32 negative offset from the sample
       res_valid: (N, R) bool
     """
-    N, L = codes.shape
+    N = str_idx.shape[0]
+    L = codes.shape[1]
     lanes = jnp.arange(N)
+    if col_off is None:
+        col_off = jnp.zeros((N,), jnp.int32)
+    rows = lanes if row_idx is None else row_idx
 
     # ---- interval phase ----------------------------------------------------
     sp = hash13[pre_v].astype(U32)
@@ -95,8 +102,8 @@ def mem_probe(fm_blocks, lf, row_char, rank6, hash13, codes, str_idx, pre_v,
 
     def ibody(st):
         sp, ep, match_len, str_i, n_sp_o, n_ep_o, fail, running = st
-        ci = jnp.clip(str_i, 0, L - 1)
-        c = codes[lanes, ci].astype(jnp.int32)
+        ci = jnp.clip(col_off + str_i, 0, L - 1)
+        c = codes[rows, ci].astype(jnp.int32)
         offbuf = str_i < 0
         c = jnp.where(offbuf, 0, c)
         r_c = rank6[c].astype(U32)
@@ -161,8 +168,8 @@ def mem_probe(fm_blocks, lf, row_char, rank6, hash13, codes, str_idx, pre_v,
             sa_l = jnp.where(live, jnp.where(sampled, 0, sa_l - 1), sa_l)
             nsp = lf[wsp.astype(jnp.int32)]
             c = row_char[wsp.astype(jnp.int32)].astype(jnp.int32)
-            ci = jnp.clip(wstr, 0, L - 1)
-            rc = jnp.where(wstr >= 0, codes[lanes, ci].astype(jnp.int32), -1)
+            ci = jnp.clip(col_off + wstr, 0, L - 1)
+            rc = jnp.where(wstr >= 0, codes[rows, ci].astype(jnp.int32), -1)
             match = live & (c == rc)
             spset, spcount, ins_ok2 = _spset_insert(spset, spcount, nsp, match)
             aborted = match & ~ins_ok2

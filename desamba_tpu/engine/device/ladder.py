@@ -1,0 +1,167 @@
+"""Fast / slow classify ladders on device (src/cly.c:1478-1611).
+
+Lane = (read, direction, island). The data-dependent probe ladder (stride
+-2/-3/-7, score-gated breaks) runs as one `lax.while_loop` over lockstep
+lanes; each iteration performs one FM MEM probe and (fast mode) the
+interleaved map_seed anchor mapping whose max score drives the stride.
+
+Host-side pre/post (cheap, per-lane numpy): lane construction from island
+lists, `skip_next` island dropping, per-island anchor_useless marking.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...constants import (
+    MEM_SEARCH_FAST,
+    MEM_SEARCH_SLOW,
+    MIN_MEM_LEN_FAST,
+    MIN_MEM_LEN_SLOW,
+    PRE_IDX_MASK,
+    SP_SET_CAP,
+)
+from . import fm as dev_fm
+from .mapseed import A_NF, IndexRefs, map_seed_lanes
+
+I32 = jnp.int32
+
+# slow-mode collected MEM record: (match_len, sp, sa_row, sa_ok, sa_l, str_idx)
+M_NF = 6
+
+
+@functools.partial(jax.jit, static_argnames=("l_ek", "a_cap"))
+def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
+                pre13_fr, q_mem, q_lv, ridx, base, read_len, direction, sid,
+                seed_off, seed_len, lane_on, *, l_ek: int, a_cap: int):
+    """Run the full fast ladder for every lane; returns
+    (anchors, a_cnt, skip_flag) — skip_flag True where the island ended
+    with max_score > 512 (drops the NEXT island, applied on host)."""
+    N = ridx.shape[0]
+    lanes = jnp.arange(N, dtype=I32)
+    min_index = MIN_MEM_LEN_FAST - l_ek
+
+    anchors = jnp.zeros((N, a_cap, A_NF), I32)
+    a_cnt = jnp.zeros((N,), I32)
+    spset = jnp.zeros((N, SP_SET_CAP), jnp.uint32)
+    spcount = jnp.zeros((N,), I32)
+    j = seed_len - 1
+    active = lane_on & (j >= min_index)
+    skip_flag = jnp.zeros((N,), bool)
+
+    def cond(st):
+        return st[0].any()
+
+    def body(st):
+        active, j, spset, spcount, anchors, a_cnt, skip_flag = st
+        ki = seed_off + j
+        str_idx = ki + l_ek - 1
+        pre_v = pre13_fr[ridx, jnp.clip(base + ki, 0, pre13_fr.shape[1] - 1)]
+        pre_v = pre_v & jnp.int32(PRE_IDX_MASK)
+        out = dev_fm.mem_probe.__wrapped__(
+            fm_blocks, ixr.lf, ixr.row_char, rank6, hash13, codes_fr,
+            str_idx, pre_v, active, spset, spcount,
+            MEM_SEARCH_FAST, MIN_MEM_LEN_FAST - 1, col_off=base,
+            row_idx=ridx)
+        (r_len, r_sp, r_sa, r_sa_ok, r_sa_l, r_valid, spset, spcount) = out
+        has_mem = r_valid.any(axis=1) & active
+
+        max_score = jnp.zeros((N,), I32)
+        for k in range(MEM_SEARCH_FAST):
+            mk = active & r_valid[:, k]
+            q_off = str_idx - r_len[:, k]
+            anchors, a_cnt, ms = map_seed_lanes(
+                ixr, codes_fr, buf_len, q_mem, q_lv, ridx, base, read_len,
+                direction, sid, r_sp[:, k].astype(I32), r_len[:, k],
+                r_sa_ok[:, k], r_sa[:, k].astype(I32), r_sa_l[:, k], q_off,
+                mk, anchors, a_cnt, a_cap=a_cap)
+            max_score = jnp.where(mk, jnp.maximum(max_score, ms), max_score)
+
+        j2 = jnp.where(active,
+                       jnp.where(has_mem,
+                                 j - 3 - jnp.where(max_score > 35, 7, 0),
+                                 j - 2),
+                       j)
+        brk = active & (max_score > 256)
+        skip_flag = skip_flag | (active & (max_score > 512))
+        active2 = active & ~brk & (j2 >= min_index)
+        return active2, j2, spset, spcount, anchors, a_cnt, skip_flag
+
+    st = (active, j, spset, spcount, anchors, a_cnt, skip_flag)
+    st = jax.lax.while_loop(cond, body, st)
+    _, _, _, _, anchors, a_cnt, skip_flag = st
+    return anchors, a_cnt, skip_flag
+
+
+@functools.partial(jax.jit, static_argnames=("l_ek", "a_cap", "m_cap"))
+def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
+                pre13_fr, q_mem, q_lv, ridx, base, read_len, direction, sid,
+                seed_off, seed_len, lane_on, *, l_ek: int, a_cap: int,
+                m_cap: int):
+    """Slow-mode ladder: collect all MEMs (stride 2), sort by match_len
+    desc, map the first 8. Returns (anchors, a_cnt, mem_overflow)."""
+    N = ridx.shape[0]
+    lanes = jnp.arange(N, dtype=I32)
+    min_match_len = min(MIN_MEM_LEN_SLOW - 1, l_ek + 1)
+
+    spset = jnp.zeros((N, SP_SET_CAP), jnp.uint32)
+    spcount = jnp.zeros((N,), I32)
+    mems = jnp.zeros((N, m_cap, M_NF), I32)
+    m_cnt = jnp.zeros((N,), I32)
+    j = seed_len - 1
+    active = lane_on & (j >= 1)
+
+    def cond(st):
+        return st[0].any()
+
+    def body(st):
+        active, j, spset, spcount, mems, m_cnt = st
+        ki = seed_off + j
+        str_idx = ki + l_ek - 1
+        pre_v = pre13_fr[ridx, jnp.clip(base + ki, 0, pre13_fr.shape[1] - 1)]
+        pre_v = pre_v & jnp.int32(PRE_IDX_MASK)
+        out = dev_fm.mem_probe.__wrapped__(
+            fm_blocks, ixr.lf, ixr.row_char, rank6, hash13, codes_fr,
+            str_idx, pre_v, active, spset, spcount,
+            MEM_SEARCH_SLOW, min_match_len, col_off=base, row_idx=ridx)
+        (r_len, r_sp, r_sa, r_sa_ok, r_sa_l, r_valid, spset, spcount) = out
+        for k in range(MEM_SEARCH_SLOW):
+            take = active & r_valid[:, k]
+            rec = jnp.stack([
+                r_len[:, k], r_sp[:, k].astype(I32), r_sa[:, k].astype(I32),
+                r_sa_ok[:, k].astype(I32), r_sa_l[:, k], str_idx], axis=1)
+            slot = jnp.minimum(m_cnt, m_cap - 1)
+            write = take & (m_cnt < m_cap)
+            mems = mems.at[lanes, slot].set(
+                jnp.where(write[:, None], rec, mems[lanes, slot]))
+            m_cnt = jnp.where(take, m_cnt + 1, m_cnt)
+        j2 = jnp.where(active, j - 2, j)
+        active2 = active & (j2 >= 1)
+        return active2, j2, spset, spcount, mems, m_cnt
+
+    st = (active, j, spset, spcount, mems, m_cnt)
+    st = jax.lax.while_loop(cond, body, st)
+    _, _, _, _, mems, m_cnt = st
+    overflow = m_cnt > m_cap
+
+    # stable sort by match_len desc (gold _qsort_by_match_len)
+    stored = jnp.minimum(m_cnt, m_cap)
+    valid = jnp.arange(m_cap)[None, :] < stored[:, None]
+    key = jnp.where(valid, -mems[:, :, 0], 1 << 30)
+    order = jnp.argsort(key, axis=1, stable=True)
+
+    anchors = jnp.zeros((N, a_cap, A_NF), I32)
+    a_cnt = jnp.zeros((N,), I32)
+    for k in range(MEM_SEARCH_SLOW):
+        sel = order[:, k]
+        rec = mems[lanes, jnp.minimum(sel, m_cap - 1)]
+        ok = lane_on & (k < stored)
+        str_idx = rec[:, 5]
+        q_off = str_idx - rec[:, 0]
+        anchors, a_cnt, _ms = map_seed_lanes(
+            ixr, codes_fr, buf_len, q_mem, q_lv, ridx, base, read_len,
+            direction, sid, rec[:, 1], rec[:, 0], rec[:, 3].astype(bool),
+            rec[:, 2], rec[:, 4], q_off, ok, anchors, a_cnt, a_cap=a_cap)
+    return anchors, a_cnt, overflow
