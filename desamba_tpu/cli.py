@@ -42,7 +42,7 @@ def cmd_classify(args):
     n = 0
     t1 = time.time()
     if args.engine == "device":
-        from .engine.device.pipeline import DeviceClassifier
+        from .engine.device.classifier import DeviceClassifier
 
         eng = DeviceClassifier(idx, opts)
         for path in args.reads:

@@ -1,0 +1,462 @@
+"""DeviceClassifier: batched classify with device seeding/ladders.
+
+Stage split (v1):
+  device — existence-filter probe, fast ladder, slow ladder (all anchors)
+  host   — island segmentation, chaining, 9-mer rescore, filter, primary
+The host stages run per read in input order so stream state
+(max_read_l) and output order match the reference exactly. Reads whose
+device buffers overflow fall back to the gold engine wholesale.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ...constants import FORWARD, MIN_READ_LEN, REVERSE, SEED_RANGE
+from ...index.kmers import CLY_BIT
+from ..gold.classify import ClassifyEngine, Options, ReadResult, StreamState
+from ..gold.islands import SearchDir, exist_mask, mark_top, search_islands, store_kmers_mask
+from ..gold.mapseed import Anchor
+from ..gold.chain import resolve_tree
+from ..gold.rescore import (
+    delete_small_score_rst,
+    detect_primary,
+    post_rescore_finish,
+    sc_hash_idx,
+    truncate_chains,
+)
+from ...index.kmers import rolling_kmers
+from .arrays import DeviceIndex
+from .islands import bloom_hit_kernel
+from .ladder import fast_ladder, slow_ladder
+from .mapseed import A_NF
+from .pipeline import pre13_values
+from . import rescore as dr
+
+A_CAP = 96
+M_CAP = 128
+
+
+def _bucket(n: int, lo: int = 256) -> int:
+    """Round lane counts up to power-of-two buckets so jit shapes repeat."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _enable_compile_cache():
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/desamba_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def _anchor_from_row(row, useless):
+    return Anchor(
+        mtch_len=int(row[0]), score=int(row[1]), left_len=int(row[2]),
+        left_ed=int(row[3]), rigt_len=int(row[4]), rigt_ed=int(row[5]),
+        direction=int(row[6]), global_offset=int(row[7]), ref_id=int(row[8]),
+        ref_offset=int(row[9]), index_in_read=int(row[10]),
+        chain_anchor_pre=None, seed_id=int(row[11]), chain_id=0,
+        anchor_useless=useless, duplicate=False)
+
+
+class DeviceClassifier:
+    def __init__(self, idx, opts: Options | None = None, batch_size: int = 2048):
+        _enable_compile_cache()
+        self.idx = idx
+        self.opts = opts or Options()
+        self.dix = DeviceIndex.build(idx)
+        self.ixr = self.dix.index_refs()
+        self.gold = ClassifyEngine(idx, self.opts)  # fallback + host tables
+        self.state = StreamState()
+        self.batch_size = batch_size
+
+    # ---- host island stage -------------------------------------------------
+    def _islands(self, seqs):
+        """Gold get_islands per read, with the existence probe batched on
+        device. Returns list of (dirs, both)."""
+        idx = self.idx
+        l_ek = idx.len_e_kmer
+        out = []
+        bufs = []
+        for seq in seqs:
+            bin_f = CLY_BIT[np.frombuffer(seq.encode(), np.uint8)]
+            bufs.append(np.concatenate([bin_f, (3 - bin_f)[::-1]]))
+        for seq, buf in zip(seqs, bufs):
+            read_len = len(seq)
+            n_kmers = read_len - l_ek + 1
+            dirs = []
+            for base, direction in ((0, FORWARD), (read_len, REVERSE)):
+                bin_read = buf[base : base + read_len]
+                kmers = store_kmers_mask(bin_read, n_kmers, l_ek,
+                                         idx.single_base_max)
+                hit = exist_mask(kmers, idx.ekmer0, idx.ekmer1,
+                                 idx.e_hash_mask)
+                seeds = search_islands(hit, direction)
+                total = mark_top(seeds, n_kmers, direction)
+                dirs.append(SearchDir(seeds, bin_read, hit, direction, total,
+                                      buf, base))
+            if dirs[0].total_score < dirs[1].total_score:
+                dirs = [dirs[1], dirs[0]]
+            both = (dirs[0].total_score - dirs[1].total_score) <= (
+                dirs[0].total_score >> 3)
+            out.append((dirs, both))
+        return out
+
+    # ---- ladder helpers ----------------------------------------------------
+    def _run_ladder(self, kind, lanes, codes_fr, buf_len, pre13, read_lens):
+        if not lanes:
+            return None
+        dix = self.dix
+        N = len(lanes)
+        NB = _bucket(N)
+        cols = np.zeros((6, NB), np.int32)
+        for j, l in enumerate(lanes):
+            cols[:, j] = l
+        rlv = np.zeros((NB,), np.int32)
+        rlv[:N] = [read_lens[l[0]] for l in lanes]
+        on = np.zeros((NB,), bool)
+        on[:N] = True
+        args = (self.ixr, dix.fm_blocks, dix.rank, dix.hash13, codes_fr,
+                buf_len, pre13, dix.q_mem, dix.q_lv,
+                jnp.asarray(cols[0]), jnp.asarray(cols[1]), jnp.asarray(rlv),
+                jnp.asarray(cols[2]), jnp.asarray(cols[3]),
+                jnp.asarray(cols[4]), jnp.asarray(cols[5]), jnp.asarray(on))
+        if kind == "fast":
+            out = fast_ladder(*args, l_ek=self.idx.len_e_kmer, a_cap=A_CAP)
+        else:
+            out = slow_ladder(*args, l_ek=self.idx.len_e_kmer, a_cap=A_CAP,
+                              m_cap=M_CAP)
+        return [np.asarray(x) for x in jax.block_until_ready(out)]
+
+    def _run_fast(self, lanes, codes_fr, buf_len, pre13, read_lens):
+        return self._run_ladder("fast", lanes, codes_fr, buf_len, pre13,
+                                read_lens)
+
+    def _run_slow(self, lanes, codes_fr, buf_len, pre13, read_lens):
+        return self._run_ladder("slow", lanes, codes_fr, buf_len, pre13,
+                                read_lens)
+
+    @staticmethod
+    def _collect_group(lane_ids, anchors_h, acnt_h, skip_h, out, fallback):
+        """Apply skip_next + useless marking for one (read, dir) group of
+        fast lanes (in island order); append Anchor objects to out."""
+        skip_next = False
+        for lid in lane_ids:
+            if skip_next:
+                skip_next = False
+                continue
+            cnt = int(acnt_h[lid])
+            if cnt > A_CAP:
+                fallback[0] = True
+                return
+            rows = anchors_h[lid, :cnt]
+            top = 35
+            for r in rows:
+                top = max(top, int(r[1]))
+            for r in rows:
+                out.append(_anchor_from_row(r, int(r[1]) < top))
+            if skip_h is not None and skip_h[lid]:
+                skip_next = True
+
+    # ---- main entry --------------------------------------------------------
+    def classify_reads(self, recs):
+        for i in range(0, len(recs), self.batch_size):
+            yield from self._classify_batch(recs[i : i + self.batch_size])
+
+    def _classify_batch(self, recs):
+        idx = self.idx
+        l_ek = idx.len_e_kmer
+        results = [ReadResult(r.name, r.seq, r.qual, len(r.seq))
+                   for r in recs]
+        todo = [i for i, r in enumerate(recs) if len(r.seq) >= MIN_READ_LEN]
+        island_info = self._islands([recs[i].seq for i in todo])
+
+        read_lens = {}
+        bufs = {}
+        for k, i in enumerate(todo):
+            read_lens[i] = len(recs[i].seq)
+            bufs[i] = island_info[k][0][0].buf
+        if not todo:
+            yield from results
+            return
+        # pad buffer dims to buckets so ladder jit shapes repeat across
+        # batches (B to pow2, width to a 2048 multiple)
+        Lmax = max(len(b) for b in bufs.values())
+        Lmax = ((Lmax + 2047) // 2048) * 2048
+        B_pad = _bucket(len(todo), 64)
+        rows = {}
+        codes_np = np.zeros((B_pad, Lmax), np.uint8)
+        blen_np = np.zeros((B_pad,), np.int32)
+        for k, i in enumerate(todo):
+            rows[i] = k
+            codes_np[k, : len(bufs[i])] = bufs[i]
+            blen_np[k] = len(bufs[i])
+        codes_fr = jnp.asarray(codes_np)
+        buf_len = jnp.asarray(blen_np)
+        pre13 = pre13_values(codes_fr, l_ek)
+        rl = {rows[i]: read_lens[i] for i in todo}
+
+        # ---- fast pass (dir0 + dir1-if-both) ------------------------------
+        fast_lanes = []          # (row, base, dir, sid, off, len)
+        fast_groups = {}         # (read_i, dpos) -> [lane ids]
+        for k, i in enumerate(todo):
+            dirs, both = island_info[k]
+            for dpos in range(2 if both else 1):
+                sd = dirs[dpos]
+                ids = []
+                for sid, s in enumerate(sd.seeds):
+                    if s[2]:
+                        ids.append(len(fast_lanes))
+                        fast_lanes.append((rows[i], sd.base, sd.direction,
+                                           sid, s[0], s[1]))
+                fast_groups[(i, dpos)] = ids
+        fast_out = self._run_fast(fast_lanes, codes_fr, buf_len, pre13, rl)
+
+        fallback_reads = set()
+        chains_by_read = {}
+        anchors_by_read = {}
+        slow0_lanes, slow0_groups = [], {}
+        for k, i in enumerate(todo):
+            dirs, both = island_info[k]
+            anchors = []
+            fb = [False]
+            for dpos in range(2 if both else 1):
+                self._collect_group(fast_groups[(i, dpos)], fast_out[0],
+                                    fast_out[1], fast_out[2], anchors, fb)
+            if fb[0]:
+                fallback_reads.add(i)
+                continue
+            chains = []
+            resolve_tree(anchors, chains)
+            run_slow = False
+            if not chains:
+                run_slow = True
+            elif chains[0].anchor_number < 5:
+                run_slow = True
+                if read_lens[i] <= 300 and chains[0].sum_score > 200:
+                    run_slow = False
+            chains_by_read[i] = chains
+            anchors_by_read[i] = anchors
+            if run_slow:
+                results[i].fast = False
+                sd = dirs[0]
+                first_top = bool(sd.seeds[0][2]) if sd.seeds else False
+                ids = []
+                for sid, s in enumerate(sd.seeds):
+                    if s[1] < 3 and not first_top:
+                        continue
+                    ids.append(len(slow0_lanes))
+                    slow0_lanes.append((rows[i], sd.base, sd.direction, sid,
+                                        s[0], s[1]))
+                slow0_groups[i] = ids
+
+        slow0_out = self._run_slow(slow0_lanes, codes_fr, buf_len, pre13, rl)
+
+        # ---- slow dir0 results + decide slow dir1 -------------------------
+        slow1_lanes, slow1_groups = [], {}
+        for k, i in enumerate(todo):
+            if i in fallback_reads or i not in slow0_groups:
+                continue
+            dirs, both = island_info[k]
+            anchors = []
+            fb = [False]
+            self._collect_group(slow0_groups[i], slow0_out[0], slow0_out[1],
+                                None, anchors, fb)
+            if fb[0] or any(slow0_out[2][lid] for lid in slow0_groups[i]):
+                fallback_reads.add(i)
+                continue
+            chains = []
+            resolve_tree(anchors, chains)
+            chains_by_read[i] = chains
+            anchors_by_read[i] = anchors
+            if both or not chains or chains[0].anchor_number < 5:
+                sd = dirs[1]
+                first_top = bool(sd.seeds[0][2]) if sd.seeds else False
+                ids = []
+                for sid, s in enumerate(sd.seeds):
+                    if s[1] < 3 and not first_top:
+                        continue
+                    ids.append(len(slow1_lanes))
+                    slow1_lanes.append((rows[i], sd.base, sd.direction, sid,
+                                        s[0], s[1]))
+                slow1_groups[i] = ids
+
+        slow1_out = self._run_slow(slow1_lanes, codes_fr, buf_len, pre13, rl)
+
+        for i in list(slow1_groups):
+            if i in fallback_reads:
+                continue
+            anchors = anchors_by_read[i]
+            fb = [False]
+            self._collect_group(slow1_groups[i], slow1_out[0], slow1_out[1],
+                                None, anchors, fb)
+            if fb[0] or any(slow1_out[2][lid] for lid in slow1_groups[i]):
+                fallback_reads.add(i)
+                continue
+            chains = []
+            resolve_tree(anchors, chains)
+            chains_by_read[i] = chains
+
+        # ---- device rescore ------------------------------------------------
+        dev_scores = self._device_rescore(
+            todo, island_info, chains_by_read, fallback_reads, rows,
+            codes_np, blen_np, read_lens)
+
+        # ---- host finish, in input order ----------------------------------
+        for k, i in enumerate(todo):
+            res = results[i]
+            if i in fallback_reads or (
+                    chains_by_read.get(i) and dev_scores.get(i) is None):
+                g = self.gold
+                g.state = self.state
+                results[i] = g.classify_read(recs[i].name, recs[i].seq,
+                                             recs[i].qual)
+                continue
+            dirs, both = island_info[k]
+            res.chains = chains_by_read.get(i, [])
+            res.anchors = anchors_by_read.get(i, [])
+            if res.chains:
+                rows_dev = dev_scores[i]
+
+                def coord(v):
+                    # undo the kernel's uint32-wrap surrogate (T_BIAS) so
+                    # the gold finish code sees the reference's exact ints
+                    v = int(v)
+                    if v >= dr.T_BIAS:
+                        return v - dr.T_BIAS + (1 << 32)
+                    return v & 0xFFFFFFFF if v < 0 else v
+
+                for ci, c in enumerate(res.chains):
+                    row = rows_dev[ci]
+                    c.sum_score = int(row[dr.C_SUM])
+                    c.anchor_number = int(row[dr.C_ANUM])
+                    c.t_st = coord(row[dr.C_TST])
+                    c.t_ed = coord(row[dr.C_TED])
+                    c.q_st = coord(row[dr.C_QST])
+                    c.q_ed = coord(row[dr.C_QED])
+                    c.indel = int(row[dr.C_INDEL])
+                post_rescore_finish(res.chains, read_lens[i], self.state,
+                                    self.opts)
+            detect_primary(res.chains, read_lens[i])
+        yield from results
+
+    def _device_rescore(self, todo, island_info, chains_by_read,
+                        fallback_reads, rows, codes_np, blen_np, read_lens):
+        """Run rescore_kernel over reads with chains; returns
+        {read_i: device chain rows} (missing key = fell back)."""
+        work = []
+        for k, i in enumerate(todo):
+            if i in fallback_reads:
+                continue
+            chains = chains_by_read.get(i)
+            if chains:
+                truncate_chains(chains)
+                if len(chains) > dr.C_CAP:
+                    fallback_reads.add(i)
+                    continue
+                work.append((k, i))
+        if not work:
+            return {}
+        B = _bucket(len(work), 64)
+        chains_a = np.zeros((B, dr.C_CAP, dr.CF_N), np.int32)
+        n_chains = np.zeros((B,), np.int32)
+        anchors_a = np.zeros((B, dr.A_CAP, dr.AF_N), np.int32)
+        schash = np.zeros((B, 2 * dr.C_CAP, 3), np.int32)
+        n_hash = np.zeros((B,), np.int32)
+        Lmax_r = max(read_lens[i] for _, i in work)
+        K = ((Lmax_r + 255) // 256) * 256
+        rk_vals = np.full((B, 2, K), np.iinfo(np.int32).max, np.int32)
+        rk_pos = np.zeros((B, 2, K), np.int32)
+        rk_n = np.zeros((B, 2), np.int32)
+        codes2 = np.zeros((B, codes_np.shape[1]), np.uint8)
+        blen2 = np.zeros((B,), np.int32)
+        rlen2 = np.zeros((B,), np.int32)
+        ok_rows = []
+        for b, (k, i) in enumerate(work):
+            chains = chains_by_read[i]
+            n_chains[b] = len(chains)
+            # anchor tables with pre links
+            amap = {}
+            overflow = False
+            for ci, c in enumerate(chains):
+                a = c.chain_anchor_cur
+                while a is not None and id(a) not in amap:
+                    if len(amap) >= dr.A_CAP:
+                        overflow = True
+                        break
+                    amap[id(a)] = (len(amap), a)
+                    a = a.chain_anchor_pre
+                if overflow:
+                    break
+            if overflow:
+                fallback_reads.add(i)
+                continue
+            for ai, a in amap.values():
+                pre = (amap[id(a.chain_anchor_pre)][0]
+                       if a.chain_anchor_pre is not None else -1)
+                anchors_a[b, ai] = (a.index_in_read, a.ref_offset,
+                                    a.mtch_len, pre)
+            for ci, c in enumerate(chains):
+                cur = (amap[id(c.chain_anchor_cur)][0]
+                       if c.chain_anchor_cur is not None else -1)
+                chains_a[b, ci] = (c.ref_id, c.direction, c.sum_score,
+                                  c.anchor_number, c.t_st, c.t_ed, c.q_st,
+                                  c.q_ed, c.indel, cur)
+            # sc_hash insertion order: chain asc, i in (1, 0)
+            e = 0
+            for ci, c in enumerate(chains):
+                for s_or_e in (1, 0):
+                    key = ((c.t_st - c.q_st) if s_or_e == 1
+                           else (c.t_ed - c.q_ed)) & 0xFF
+                    schash[b, e] = (key, ci, s_or_e)
+                    e += 1
+            n_hash[b] = e
+            # read 9-mer tables per direction value (0=REV, 1=FWD)
+            row = rows[i]
+            rl = read_lens[i]
+            buf = codes_np[row, : 2 * rl]
+            for d, sl in ((1, buf[:rl]), (0, buf[rl:])):
+                if rl >= 9:
+                    vals = rolling_kmers(sl.astype(np.uint8), 9)
+                    order = np.argsort(vals, kind="stable")
+                    n = len(vals)
+                    rk_vals[b, d, :n] = vals[order].astype(np.int32)
+                    rk_pos[b, d, :n] = order.astype(np.int32)
+                    rk_n[b, d] = n
+            codes2[b] = codes_np[row]
+            blen2[b] = blen_np[row]
+            rlen2[b] = rl
+            ok_rows.append((b, i))
+
+        inp = dr.RescoreIn(
+            chains=jnp.asarray(chains_a), n_chains=jnp.asarray(n_chains),
+            anchors=jnp.asarray(anchors_a), schash=jnp.asarray(schash),
+            n_hash=jnp.asarray(n_hash), rk_vals=jnp.asarray(rk_vals),
+            rk_pos=jnp.asarray(rk_pos), rk_n=jnp.asarray(rk_n),
+            codes_fr=jnp.asarray(codes2), buf_len=jnp.asarray(blen2),
+            read_len=jnp.asarray(rlen2))
+        dix = self.dix
+        chains_out, fb, _reason = dr.rescore_kernel(
+            inp, dix.ref_bin, dix.ref_off, dix.ref_len_arr,
+            n_bases=dix.n_bases)
+        chains_out = np.asarray(chains_out)
+        fb = np.asarray(fb)
+        out = {}
+        for b, i in ok_rows:
+            if fb[b]:
+                fallback_reads.add(i)
+            else:
+                out[i] = chains_out[b]
+        return out
+
+    def classify_file(self, path):
+        from ...io.fastx import read_fastx
+
+        yield from self.classify_reads(list(read_fastx(path)))

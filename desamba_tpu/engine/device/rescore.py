@@ -1,0 +1,693 @@
+"""9-mer sparse-DP rescoring on device (src/cly.c:2335-2849).
+
+One lane = one read. The reference walks each chain's anchor gaps and
+extends both ends through 600-bp windows, appending "sms" match nodes and
+chaining them with a sequential sparse DP; absorbed sibling chains
+(combine_chain) restart the walk. That whole control flow runs here as a
+lockstep state machine inside ONE `lax.while_loop`:
+
+  - each outer iteration runs PROC_PER_ITER cheap node-processing /
+    control micro-steps, then one heavy window-fetch step for lanes that
+    need a new window (fetches are ~30x rarer than node steps);
+  - the backward DP scan over previous nodes is a masked max over the
+    sms buffer (the reference's `break` prunes a t-window, expressible
+    as a mask);
+  - 9-mer probes hit a per-(read,direction) sorted k-mer table via
+    batched binary search; match runs extend in 32-char chunks.
+
+Lanes that exceed any fixed buffer (sms nodes, candidates per probe,
+window size, chains) raise a fallback flag; the host redoes those reads
+with the gold engine. On the demo corpus none overflow.
+
+Modes: 0 done, 1 next-chain, 2 middle, 3 right, 4 left, 5 combine-middle.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...constants import MIN_SCORE_MEM, OVER_SEARCH_M2, S_A_KMER_L
+
+I32 = jnp.int32
+U32 = jnp.uint32
+K9 = S_A_KMER_L
+
+C_CAP = 8        # chains per read
+A_CAP = 64       # anchors per read
+S_CAP = 128      # sms nodes per extension
+P_CAP = 176      # 9-mer probes per window fetch ((704-9)/4)
+H_CAP = 4        # candidate read positions per probe value
+F_CAP = 64       # candidates surviving the leftmost filter per fetch
+W_CAP = 704      # window chars incl. 50-pad
+RUN_CHUNK = 32   # match-run extension chunk
+
+M_DONE, M_NEXT, M_MID, M_RIGHT, M_LEFT = 0, 1, 2, 3, 4
+
+# Surrogate for the reference's uint32 wrap on t coordinates: gold keeps
+# wrapped values as huge python ints (~2^32). Using +2^30 instead keeps
+# them in int32 while preserving every comparison the walk makes (both
+# are far above any real coordinate, congruent mod 256, and gathers at
+# either offset clamp identically). The host maps >= T_BIAS back to the
+# exact 2^32-wrapped value before the gold finish code runs.
+T_BIAS = 1 << 30
+
+# chain record fields
+CF = ("ref_id", "direction", "sum_score", "anchor_number", "t_st", "t_ed",
+      "q_st", "q_ed", "indel", "cur_anchor")
+CF_N = len(CF)
+(C_REF, C_DIR, C_SUM, C_ANUM, C_TST, C_TED, C_QST, C_QED, C_INDEL,
+ C_CUR) = range(CF_N)
+
+# anchor record fields: index_in_read, ref_offset, mtch_len, pre (-1 none)
+AF_N = 4
+
+
+class RescoreIn(NamedTuple):
+    """Per-batch device inputs (B = reads)."""
+    chains: jnp.ndarray     # (B, C_CAP, CF_N) int32
+    n_chains: jnp.ndarray   # (B,)
+    anchors: jnp.ndarray    # (B, A_CAP, AF_N) int32
+    schash: jnp.ndarray     # (B, 2*C_CAP, 3) int32 [key, ci, s_or_e]
+    n_hash: jnp.ndarray     # (B,)
+    rk_vals: jnp.ndarray    # (B, 2, K) sorted 9-mer values, axis1=direction
+    rk_pos: jnp.ndarray     # (B, 2, K) int32 read positions
+    rk_n: jnp.ndarray       # (B, 2) valid kmer count per direction
+    codes_fr: jnp.ndarray   # (B, 2L) uint8
+    buf_len: jnp.ndarray    # (B,)
+    read_len: jnp.ndarray   # (B,)
+
+
+def _ref_chars(ref_bin, n_bases, offset, width):
+    """(N, width) ref chars at offset..offset+width-1 (gold get_ref:
+    negative start clamps to 0 first, then indices clip)."""
+    ar = jnp.arange(width, dtype=I32)[None, :]
+    idx = jnp.clip(jnp.maximum(offset, 0)[:, None] + ar, 0, n_bases - 1)
+    byte = ref_bin[idx >> 2]
+    shift = (6 - ((idx & 3) << 1)).astype(jnp.uint8)
+    return (byte >> shift) & jnp.uint8(3)
+
+
+def _searchsorted_rows(vals, n_valid, queries, side_left: bool):
+    """Per-row binary search: vals (N, K) sorted, queries (N, P).
+
+    Returns (N, P) insertion points within [0, n_valid]."""
+    N, K = vals.shape
+    lo = jnp.zeros(queries.shape, I32)
+    hi = jnp.broadcast_to(n_valid[:, None], queries.shape).astype(I32)
+    steps = int(K).bit_length() + 1
+    rows = jnp.arange(N, dtype=I32)[:, None]
+    for _ in range(steps):
+        cont = lo < hi
+        mid = (lo + hi) >> 1
+        mv = vals[rows, jnp.clip(mid, 0, K - 1)]
+        go_right = (mv < queries) if side_left else (mv <= queries)
+        lo = jnp.where(cont & go_right, mid + 1, lo)
+        hi = jnp.where(cont & ~go_right, mid, hi)
+    return lo
+
+
+def _run_len2(codes_fr, buf_len, rows, qstart, qstep, win, win_len, wstart,
+              wstep, cap, active):
+    """Match-run length over a (B, F) candidate grid, chunked by RUN_CHUNK.
+
+    q[qstart + qstep*k] vs win[wstart + wstep*k], k < cap; stops at the
+    read buffer / window bounds. rows (B,); qstep/wstep (B, 1) +-1;
+    win (B, W_CAP), win_len (B,)."""
+    B, F = qstart.shape
+    n = jnp.zeros((B, F), I32)
+    run = active & (cap > 0)
+    ar = jnp.arange(RUN_CHUNK, dtype=I32)[None, None, :]
+    blen = buf_len[rows][:, None, None]
+    wlen = win_len[:, None, None]
+
+    def body(st):
+        n, run = st
+        k = n[:, :, None] + ar
+        qi = qstart[:, :, None] + qstep[:, :, None] * k
+        wi = wstart[:, :, None] + wstep[:, :, None] * k
+        q_ok = (qi >= 0) & (qi < blen)
+        w_ok = (wi >= 0) & (wi < wlen)
+        qc = codes_fr[rows[:, None, None],
+                      jnp.clip(qi, 0, codes_fr.shape[1] - 1)]
+        wc = win[jnp.arange(B, dtype=I32)[:, None, None],
+                 jnp.clip(wi, 0, W_CAP - 1)]
+        m = q_ok & w_ok & (k < cap[:, :, None]) & (qc == wc)
+        mask = jnp.sum(m.astype(U32) << ar.astype(U32), axis=2)
+        low = (~mask) & (mask + U32(1))
+        mm = low - U32(1)
+        mm = mm - ((mm >> 1) & U32(0x55555555))
+        mm = (mm & U32(0x33333333)) + ((mm >> 2) & U32(0x33333333))
+        mm = (mm + (mm >> 4)) & U32(0x0F0F0F0F)
+        adv = ((mm * U32(0x01010101)) >> 24).astype(I32)
+        n2 = jnp.where(run, n + adv, n)
+        run2 = run & (adv == RUN_CHUNK)
+        return n2, run2
+
+    n, _ = jax.lax.while_loop(lambda s: s[1].any(), body, (n, run))
+    return jnp.minimum(n, jnp.maximum(cap, 0))
+
+
+class VMState(NamedTuple):
+    mode: jnp.ndarray        # (B,)
+    chain_i: jnp.ndarray
+    chains: jnp.ndarray      # (B, C_CAP, CF_N) — live, mutated by combine
+    # side registers
+    side_total: jnp.ndarray  # total_max_score (+10000 domain)
+    score_ori: jnp.ndarray
+    c_t_off: jnp.ndarray
+    last_search: jnp.ndarray  # bool
+    # sms buffer
+    sms: jnp.ndarray         # (B, S_CAP, 4) [q, t, len, score]
+    n_sms: jnp.ndarray
+    cur_sms: jnp.ndarray
+    max_id: jnp.ndarray
+    # middle walk
+    mid_cur: jnp.ndarray     # anchor index (-1 none)
+    mid_score: jnp.ndarray   # +10000 domain
+    mid_is_combine: jnp.ndarray  # bool
+    save_side: jnp.ndarray   # mode to restore after combine-middle
+    save_nodemax: jnp.ndarray
+    save_len: jnp.ndarray
+    fallback: jnp.ndarray    # bool
+    fb_reason: jnp.ndarray   # int32 bitmask (1 mid>W, 2 left-wrap,
+                             # 4 probe-hits, 8 F_CAP, 16 sms, 32 overcap)
+    need_fetch: jnp.ndarray  # bool — lane waits for the fetch step
+
+
+def _side_complete(st: VMState, m, lanes):
+    """Apply right/left break: writeback + transition. m: lanes breaking."""
+    chains, sms = st.chains, st.sms
+    ci = jnp.clip(st.chain_i, 0, C_CAP - 1)
+    is_r = st.mode == M_RIGHT
+    best = sms[lanes, jnp.clip(st.max_id, 0, S_CAP - 1)]
+    # right: q_ed/t_ed = best.q/t + best.len + K9 ; left: q_st/t_st = best.q/t
+    qv = jnp.where(is_r, best[:, 0] + best[:, 2] + K9, best[:, 0])
+    tv = jnp.where(is_r, best[:, 1] + best[:, 2] + K9, best[:, 1])
+    chains = chains.at[lanes, ci, C_QED].set(
+        jnp.where(m & is_r, qv, chains[lanes, ci, C_QED]))
+    chains = chains.at[lanes, ci, C_TED].set(
+        jnp.where(m & is_r, tv, chains[lanes, ci, C_TED]))
+    chains = chains.at[lanes, ci, C_QST].set(
+        jnp.where(m & ~is_r, qv, chains[lanes, ci, C_QST]))
+    chains = chains.at[lanes, ci, C_TST].set(
+        jnp.where(m & ~is_r, tv, chains[lanes, ci, C_TST]))
+    # right -> setup left ; left -> store sum_score, next chain
+    go_left = m & is_r
+    q_st = chains[lanes, ci, C_QST]
+    t_st = chains[lanes, ci, C_TST]
+    seed = jnp.stack([q_st, t_st, jnp.zeros_like(q_st), st.side_total], 1)
+    sms = jnp.where(go_left[:, None, None],
+                    sms.at[:, 0, :].set(seed), sms)
+    chains = chains.at[lanes, ci, C_SUM].set(
+        jnp.where(m & ~is_r, st.side_total - 10000,
+                  chains[lanes, ci, C_SUM]))
+    return st._replace(
+        chains=chains, sms=sms,
+        mode=jnp.where(go_left, M_LEFT, jnp.where(m, M_NEXT, st.mode)),
+        score_ori=jnp.where(go_left, st.side_total, st.score_ori),
+        side_total=st.side_total,
+        c_t_off=jnp.where(go_left, t_st + 3, st.c_t_off),
+        last_search=jnp.where(m, False, st.last_search),
+        n_sms=jnp.where(go_left, 1, st.n_sms),
+        cur_sms=jnp.where(go_left, 1, st.cur_sms),
+        max_id=jnp.where(go_left, 0, st.max_id),
+        need_fetch=jnp.where(m, go_left, st.need_fetch))
+
+
+def _proc_micro(st: VMState, inp: RescoreIn):
+    """One cheap micro-step: control transitions + one sms node per lane."""
+    B = st.mode.shape[0]
+    lanes = jnp.arange(B, dtype=I32)
+    chains, sms = st.chains, st.sms
+
+    # ---- M_NEXT: advance to the next unscored chain -----------------------
+    m_next = (st.mode == M_NEXT) & ~st.need_fetch
+    nci = st.chain_i + 1
+    # scan forward over fixed C_CAP slots for the next sum_score != 0
+    pick = jnp.full((B,), C_CAP, I32)
+    for s in range(C_CAP - 1, -1, -1):
+        cand_ok = (s >= nci) & (s < inp.n_chains) & (
+            chains[:, s, C_SUM] != 0)
+        pick = jnp.where(cand_ok, s, pick)
+    done = m_next & (pick >= inp.n_chains)
+    start = m_next & ~done
+    ci2 = jnp.where(m_next, pick, st.chain_i)
+    cur_anchor = chains[lanes, jnp.clip(ci2, 0, C_CAP - 1), C_CUR]
+    st = st._replace(
+        mode=jnp.where(done, M_DONE, jnp.where(start, M_MID, st.mode)),
+        chain_i=ci2,
+        mid_cur=jnp.where(start, cur_anchor, st.mid_cur),
+        mid_score=jnp.where(start, 10000, st.mid_score),
+        mid_is_combine=jnp.where(start, False, st.mid_is_combine),
+        n_sms=jnp.where(start, 0, st.n_sms),
+        cur_sms=jnp.where(start, 0, st.cur_sms))
+    chains = st.chains
+
+    # ---- M_MID control: gap advance / completion --------------------------
+    m_mid = (st.mode == M_MID) & ~st.need_fetch & (st.cur_sms >= st.n_sms)
+    pre = inp.anchors[lanes, jnp.clip(st.mid_cur, 0, A_CAP - 1), 3]
+    cur_m = inp.anchors[lanes, jnp.clip(st.mid_cur, 0, A_CAP - 1), 2]
+    terminal = m_mid & (pre < 0)
+    mid_score2 = jnp.where(terminal, st.mid_score + cur_m - K9 + 1,
+                           st.mid_score)
+    st = st._replace(mid_score=mid_score2,
+                     need_fetch=st.need_fetch | (m_mid & (pre >= 0)))
+
+    # middle completion: own -> setup right; combine -> restore side
+    own_done = terminal & ~st.mid_is_combine
+    ci = jnp.clip(st.chain_i, 0, C_CAP - 1)
+    q_ed = chains[lanes, ci, C_QED]
+    t_ed = chains[lanes, ci, C_TED]
+    seed_r = jnp.stack([q_ed, t_ed, jnp.full((B,), 1 - K9, I32),
+                        st.mid_score], 1)
+    sms = jnp.where(own_done[:, None, None], sms.at[:, 0, :].set(seed_r), sms)
+    st = st._replace(
+        sms=sms,
+        mode=jnp.where(own_done, M_RIGHT, st.mode),
+        score_ori=jnp.where(own_done, st.mid_score, st.score_ori),
+        side_total=jnp.where(own_done, st.mid_score, st.side_total),
+        c_t_off=jnp.where(own_done, t_ed - 3, st.c_t_off),
+        last_search=jnp.where(own_done, False, st.last_search),
+        n_sms=jnp.where(own_done, 1, st.n_sms),
+        cur_sms=jnp.where(own_done, 1, st.cur_sms),
+        max_id=jnp.where(own_done, 0, st.max_id),
+        need_fetch=jnp.where(own_done, True, st.need_fetch))
+
+    comb_done = terminal & st.mid_is_combine
+    total_c = (jnp.maximum(st.score_ori, st.save_nodemax) - st.save_len
+               + st.mid_score - 10000)
+    is_r = st.save_side == M_RIGHT
+    q_anchor = jnp.where(is_r, st.chains[lanes, ci, C_QED],
+                         st.chains[lanes, ci, C_QST])
+    t_anchor = jnp.where(is_r, st.chains[lanes, ci, C_TED],
+                         st.chains[lanes, ci, C_TST])
+    seed_c = jnp.stack([q_anchor, t_anchor,
+                        jnp.where(is_r, -K9, 0), total_c], 1)
+    sms2 = jnp.where(comb_done[:, None, None],
+                     st.sms.at[:, 0, :].set(seed_c), st.sms)
+    st = st._replace(
+        sms=sms2,
+        mode=jnp.where(comb_done, st.save_side, st.mode),
+        score_ori=jnp.where(comb_done, total_c, st.score_ori),
+        side_total=jnp.where(comb_done, total_c, st.side_total),
+        c_t_off=jnp.where(comb_done, t_anchor, st.c_t_off),
+        mid_is_combine=jnp.where(comb_done, False, st.mid_is_combine),
+        n_sms=jnp.where(comb_done, 1, st.n_sms),
+        cur_sms=jnp.where(comb_done, 1, st.cur_sms),
+        max_id=jnp.where(comb_done, 0, st.max_id),
+        need_fetch=jnp.where(comb_done, True, st.need_fetch))
+
+    # ---- side loops needing a window --------------------------------------
+    m_side = ((st.mode == M_RIGHT) | (st.mode == M_LEFT)) & ~st.need_fetch
+    st = st._replace(need_fetch=st.need_fetch
+                     | (m_side & (st.cur_sms >= st.n_sms)))
+
+    # ---- node processing ---------------------------------------------------
+    proc = (((st.mode == M_RIGHT) | (st.mode == M_LEFT) | (st.mode == M_MID))
+            & ~st.need_fetch & (st.cur_sms < st.n_sms))
+    sms = st.sms
+    cs = jnp.clip(st.cur_sms, 0, S_CAP - 1)
+    c = sms[lanes, cs]  # (B, 4)
+    is_left = st.mode == M_LEFT
+    is_mid = st.mode == M_MID
+    slots = jnp.arange(S_CAP, dtype=I32)[None, :]
+    prior = slots < st.cur_sms[:, None]
+    pq, pt, plen, pscore = (sms[:, :, 0], sms[:, :, 1], sms[:, :, 2],
+                            sms[:, :, 3])
+    # right/mid formulas
+    max_q = (c[:, 0] + 6)[:, None]
+    max_t = (c[:, 1] + 6)[:, None]
+    pre_q_ed = pq + plen + K9 - 1
+    pre_t_ed = pt + plen + K9 - 1
+    okA = (pre_q_ed <= max_q) & (pre_t_ed <= max_t)
+    brkA = (pt + 600) < max_t     # right only
+    indelA = pq - pt - (max_q - max_t)
+    ovA = jnp.maximum(pre_q_ed - c[:, 0][:, None], pre_t_ed - c[:, 1][:, None])
+    newA = pscore + c[:, 2][:, None] - (jnp.abs(indelA) >> 3)
+    newA = newA - jnp.where((pre_q_ed > c[:, 0][:, None])
+                            | (pre_t_ed > c[:, 1][:, None]),
+                            ovA, 0)
+    # left formulas
+    min_q = (c[:, 0] + c[:, 2] - 6 + K9 - 1)[:, None]
+    min_t = (c[:, 1] + c[:, 2] - 6 + K9 - 1)[:, None]
+    okB = (pq >= min_q) & (pt >= min_t)
+    brkB = (min_t + 600) < pt
+    indelB = pq - pt - (min_q - min_t)
+    ovB = jnp.maximum(min_q + 6 - pq, min_t + 6 - pt)
+    newB = pscore + c[:, 2][:, None] - (jnp.abs(indelB) >> 3)
+    newB = newB - jnp.where((min_q + 6 > pq) | (min_t + 6 > pt), ovB, 0)
+
+    ok = jnp.where(is_left[:, None], okB, okA)
+    brk = jnp.where(is_left[:, None], brkB, brkA) & ~is_mid[:, None]
+    indel_ok = jnp.abs(jnp.where(is_left[:, None], indelB, indelA)) <= 200
+    new = jnp.where(is_left[:, None], newB, newA)
+    # emulate the descending break: exclude slots <= the largest slot where
+    # brk holds
+    brk_slot = jnp.max(jnp.where(brk & prior, slots, -1), axis=1)
+    consider = prior & ok & indel_ok & (slots > brk_slot[:, None])
+    node_max = jnp.maximum(
+        c[:, 2], jnp.max(jnp.where(consider, new, -(1 << 30)), axis=1))
+    sms = sms.at[lanes, cs, 3].set(jnp.where(proc, node_max, c[:, 3]))
+    st = st._replace(sms=sms, cur_sms=jnp.where(proc, st.cur_sms + 1,
+                                                st.cur_sms))
+
+    # mid: score = max(score, node_max)
+    st = st._replace(mid_score=jnp.where(
+        proc & is_mid, jnp.maximum(st.mid_score, node_max), st.mid_score))
+
+    # side: combine check then total/break
+    side_proc = proc & ~is_mid
+    do_comb = side_proc & (c[:, 2] >= 8)
+    dis = c[:, 1] - c[:, 0]
+    c_q_pos = jnp.where(is_left, c[:, 0] + c[:, 2], c[:, 0])
+    ch = st.chains
+    ci = jnp.clip(st.chain_i, 0, C_CAP - 1)
+    found = jnp.zeros((B,), bool)
+    found_ci = jnp.zeros((B,), I32)
+    for e in range(2 * C_CAP):
+        ent = inp.schash[:, e]  # [key, eci, s_or_e]
+        eci = jnp.clip(ent[:, 1], 0, C_CAP - 1)
+        dis_con = jnp.where(is_left,
+                            ch[lanes, eci, C_TED] - ch[lanes, eci, C_QED],
+                            ch[lanes, eci, C_TST] - ch[lanes, eci, C_QST])
+        q_pos_con = jnp.where(is_left, ch[lanes, eci, C_QED] - K9,
+                              ch[lanes, eci, C_QST])
+        okc = (do_comb & ~found & (e < inp.n_hash)
+               & (ent[:, 0] == (dis & 0xFF))
+               & (dis == dis_con)
+               & (ent[:, 1] != st.chain_i)
+               & (jnp.where(is_left, 1, 0) != ent[:, 2])
+               & (jnp.abs(c_q_pos - q_pos_con) < 8)
+               & (ch[lanes, eci, C_REF] == ch[lanes, ci, C_REF])
+               & (ch[lanes, eci, C_DIR] == ch[lanes, ci, C_DIR])
+               & (ch[lanes, eci, C_SUM] != 0)
+               & (ent[:, 1] > st.chain_i))
+        found_ci = jnp.where(okc, ent[:, 1], found_ci)
+        found = found | okc
+    # absorb
+    aci = jnp.clip(found_ci, 0, C_CAP - 1)
+    for fld, red in ((C_SUM, "add"), (C_ANUM, "add"), (C_INDEL, "add"),
+                     (C_QST, "min"), (C_TST, "min"), (C_QED, "max"),
+                     (C_TED, "max")):
+        v_h = ch[lanes, ci, fld]
+        v_a = ch[lanes, aci, fld]
+        nv = (v_h + v_a if red == "add"
+              else jnp.minimum(v_h, v_a) if red == "min"
+              else jnp.maximum(v_h, v_a))
+        ch = ch.at[lanes, ci, fld].set(jnp.where(found, nv, v_h))
+    for fld in (C_SUM, C_TST, C_TED, C_QST, C_QED):
+        ch = ch.at[lanes, aci, fld].set(
+            jnp.where(found, 0, ch[lanes, aci, fld]))
+    absorbed_cur = ch[lanes, aci, C_CUR]
+    st = st._replace(
+        chains=ch,
+        mode=jnp.where(found, M_MID, st.mode),
+        mid_cur=jnp.where(found, absorbed_cur, st.mid_cur),
+        mid_score=jnp.where(found, 10000, st.mid_score),
+        mid_is_combine=jnp.where(found, True, st.mid_is_combine),
+        save_side=jnp.where(found, st.mode, st.save_side),
+        save_nodemax=jnp.where(found, node_max, st.save_nodemax),
+        save_len=jnp.where(found, c[:, 2], st.save_len),
+        n_sms=jnp.where(found, 0, st.n_sms),
+        cur_sms=jnp.where(found, 0, st.cur_sms))
+
+    # total update + post-node break (non-combined side lanes)
+    rest = side_proc & ~found
+    upd = rest & (st.side_total < node_max)
+    st = st._replace(
+        side_total=jnp.where(upd, node_max, st.side_total),
+        max_id=jnp.where(upd, st.cur_sms - 1, st.max_id))
+    best_t = st.sms[lanes, jnp.clip(st.max_id, 0, S_CAP - 1), 1]
+    brk_now = rest & jnp.where(is_left, c[:, 1] + 1000 < best_t,
+                               c[:, 1] > best_t + 1000)
+    st = _side_complete(st, brk_now, lanes)
+    return st
+
+
+def _fetch_step(st: VMState, inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
+                n_bases: int):
+    """Heavy step: for lanes with need_fetch, run the per-mode window
+    logic (pre-checks, ref gather, 9-mer probe + match building, sms
+    append, post-checks)."""
+    B = st.mode.shape[0]
+    lanes = jnp.arange(B, dtype=I32)
+    ci = jnp.clip(st.chain_i, 0, C_CAP - 1)
+    ch = st.chains
+    is_mid = st.mode == M_MID
+    is_r = st.mode == M_RIGHT
+    is_l = st.mode == M_LEFT
+    act = st.need_fetch & ~st.fallback & (is_mid | is_r | is_l)
+
+    chain_ref = ch[lanes, ci, C_REF]
+    chain_dir = ch[lanes, ci, C_DIR]
+    t_glob = ref_off[jnp.clip(chain_ref, 0, ref_off.shape[0] - 1)]
+    t_length = ref_len_arr[jnp.clip(chain_ref, 0, ref_off.shape[0] - 1)]
+    q_st_c = ch[lanes, ci, C_QST]
+    q_ed_c = ch[lanes, ci, C_QED]
+    l_read = inp.read_len
+
+    # ---- RIGHT pre-checks --------------------------------------------------
+    next_step = (t_length - st.c_t_off).astype(U32)
+    brk_r = act & is_r & (next_step < U32(MIN_SCORE_MEM))
+    near_end_r = (l_read - q_ed_c) < 600
+    brk_r = brk_r | (act & is_r & ~brk_r & near_end_r & st.last_search)
+    # ---- LEFT pre-checks ---------------------------------------------------
+    brk_l = act & is_l & (st.c_t_off < MIN_SCORE_MEM)
+    near_end_l = q_st_c < 600
+    brk_l = brk_l | (act & is_l & ~brk_l & near_end_l & st.last_search)
+    st = _side_complete(st, brk_r | brk_l, lanes)
+    act = act & ~(brk_r | brk_l)
+    new_last = st.last_search | (act & ((is_r & near_end_r)
+                                       | (is_l & near_end_l)))
+    st = st._replace(last_search=jnp.where(act, new_last, st.last_search))
+
+    msr_r = jnp.where(near_end_r, l_read - q_ed_c + 60, t_length - st.c_t_off)
+    msr_l = jnp.where(near_end_l, q_st_c + 60, st.c_t_off)
+    msr = jnp.minimum(600, jnp.where(is_r, msr_r, msr_l))
+
+    # ---- MID gap geometry --------------------------------------------------
+    mc = jnp.clip(st.mid_cur, 0, A_CAP - 1)
+    cur_a = inp.anchors[lanes, mc]          # current c_a
+    pre_i = jnp.clip(cur_a[:, 3], 0, A_CAP - 1)
+    pre_a = inp.anchors[lanes, pre_i]
+    pre_roff3 = pre_a[:, 1] - 3
+    trl = cur_a[:, 1] - (pre_roff3 + pre_a[:, 2]) + 3
+    mid_has_win = is_mid & (trl > 12)
+    f1 = act & is_mid & (trl > 12) & (trl > W_CAP)
+    st = st._replace(fallback=st.fallback | f1,
+                     fb_reason=st.fb_reason | jnp.where(f1, 1, 0))
+    # advance the middle cursor now; the gap's nodes are self-contained
+    st = st._replace(mid_cur=jnp.where(act & is_mid, cur_a[:, 3], st.mid_cur))
+
+    # ---- window gather -----------------------------------------------------
+    t_len = jnp.where(is_mid, trl, msr)                 # probe region chars
+    win_len = jnp.where(is_mid, trl, msr + OVER_SEARCH_M2)
+    t0 = jnp.where(is_l, OVER_SEARCH_M2, 0)
+    bug_l = is_l & (t_glob == 0) & (st.c_t_off < OVER_SEARCH_M2 + msr)
+    goff = jnp.where(
+        is_mid, pre_roff3 + t_glob + pre_a[:, 2],
+        jnp.where(is_r, st.c_t_off + t_glob,
+                  jnp.where(bug_l, st.c_t_off + t_glob - msr,
+                            st.c_t_off + t_glob - msr - OVER_SEARCH_M2)))
+    win = _ref_chars(ref_bin, n_bases, goff, W_CAP)
+    # bug branch: window chars sit at [0:msr], zero-filled to msr+50
+    wpos = jnp.arange(W_CAP, dtype=I32)[None, :]
+    win = jnp.where(bug_l[:, None] & (wpos >= msr[:, None]), 0, win)
+    # left normal branch: probes start at t0=50; bug branch keeps t0=50 so
+    # matching is offset by +50 into the zero region (reference bug kept)
+    t_st = jnp.where(is_mid, pre_roff3 + pre_a[:, 2],
+                     jnp.where(is_r, st.c_t_off, st.c_t_off - msr))
+    t_st = t_st + jnp.where(t_st < 0, T_BIAS, 0)  # uint32-wrap surrogate
+
+    # ---- q bounds ----------------------------------------------------------
+    best_q = st.sms[lanes, jnp.clip(st.max_id, 0, S_CAP - 1), 0]
+    sqe_r = jnp.minimum(best_q + 1000, l_read)
+    a_u = (sqe_r - 2000).astype(U32)
+    b_u = (q_st_c - 8).astype(U32)
+    qbg_r = jnp.maximum(a_u, b_u)
+    qed_r = sqe_r.astype(U32)
+    sqs_l = jnp.maximum(best_q - 1000, 0)
+    qbg_l = sqs_l.astype(U32)
+    qed_l = jnp.minimum((sqs_l + 2000).astype(U32), (q_st_c - 1).astype(U32))
+    q_bg = jnp.where(is_mid, (pre_a[:, 0] + pre_a[:, 2] - 8).astype(U32),
+                     jnp.where(is_r, qbg_r, qbg_l))
+    q_ed = jnp.where(is_mid, (cur_a[:, 0] - 1).astype(U32),
+                     jnp.where(is_r, qed_r, qed_l))
+
+    # ---- probes ------------------------------------------------------------
+    t_kmer_num = t_len - K9 + 1
+    probe_ok = act & (t_kmer_num > 4) & ~(is_mid & (trl <= 12))
+    ivals = (jnp.arange(P_CAP, dtype=I32)[None, :] + 1) * 4   # i = 4,8,...
+    p_on = probe_ok[:, None] & (ivals < t_kmer_num[:, None])
+    tpos = jnp.where(is_l[:, None], t_kmer_num[:, None] - 1 - ivals, ivals)
+    # 9-mer value at window position t0 + tpos
+    pv = jnp.zeros((B, P_CAP), I32)
+    for k in range(K9):
+        wi = jnp.clip(t0[:, None] + tpos + k, 0, W_CAP - 1)
+        cc = win[lanes[:, None], wi].astype(I32)
+        pv = (pv << 2) | cc
+    dslot = jnp.clip(chain_dir, 0, 1)
+    rkv = inp.rk_vals[lanes, dslot]
+    rkp = inp.rk_pos[lanes, dslot]
+    rkn = inp.rk_n[lanes, dslot]
+    lo = _searchsorted_rows(rkv, rkn, pv, True)
+    hi = _searchsorted_rows(rkv, rkn, pv, False)
+    f3 = (p_on & (hi - lo > H_CAP)).any(axis=1)
+    st = st._replace(fallback=st.fallback | f3,
+                     fb_reason=st.fb_reason | jnp.where(f3, 4, 0))
+
+    # candidates: (B, P_CAP, H_CAP) -> flat (B, P_CAP*H_CAP) in gold order
+    hidx = jnp.arange(H_CAP, dtype=I32)[None, None, :]
+    cand_ok = p_on[:, :, None] & (lo[:, :, None] + hidx < hi[:, :, None])
+    qpos = rkp[lanes[:, None, None],
+               jnp.clip(lo[:, :, None] + hidx, 0, rkp.shape[1] - 1)]
+    qpos_u = qpos.astype(U32)
+    cand_ok = cand_ok & (qpos_u >= q_bg[:, None, None].astype(U32)) \
+        & (qpos_u <= q_ed[:, None, None].astype(U32))
+    NC = P_CAP * H_CAP
+    cand_ok = cand_ok.reshape(B, NC)
+    qpos = qpos.reshape(B, NC)
+    c_tpos = jnp.repeat(tpos, H_CAP, axis=1)
+    c_i = jnp.repeat(ivals, H_CAP, axis=1)
+
+    qbase = jnp.where(chain_dir == 1, 0, l_read)[:, None]
+
+    # short side check (4-char): fwd for left, back for right/mid
+    sstep = jnp.where(is_l, 1, -1)[:, None]
+    sq = jnp.where(is_l[:, None], qbase + qpos + K9, qbase + qpos - 1)
+    sw = jnp.where(is_l[:, None], t0[:, None] + c_tpos + K9,
+                   t0[:, None] + c_tpos - 1)
+    short = _run_len2(inp.codes_fr, inp.buf_len, lanes, sq, sstep, win,
+                      win_len, sw, sstep, jnp.full((B, NC), 4, I32), cand_ok)
+    lead_ok = cand_ok & ((short < 4) | (c_i == 4))
+
+    # compact to F_CAP for the long run
+    ordc = jnp.argsort(jnp.where(lead_ok, jnp.arange(NC)[None, :], NC + 1),
+                       axis=1, stable=True)[:, :F_CAP]
+    f4 = jnp.sum(lead_ok, axis=1) > F_CAP
+    st = st._replace(fallback=st.fallback | f4,
+                     fb_reason=st.fb_reason | jnp.where(f4, 8, 0))
+    g = lambda x: jnp.take_along_axis(x, ordc, axis=1)
+    f_ok = g(lead_ok)
+    f_qpos = g(qpos)
+    f_tpos = g(c_tpos)
+    f_short = g(short)
+
+    ms_u = (q_ed[:, None].astype(U32) - f_qpos.astype(U32) - U32(1))
+    long_cap_r = (jnp.minimum(ms_u, (t_len[:, None] - f_tpos - 1).astype(U32))
+                  .astype(I32) + OVER_SEARCH_M2)
+    long_cap_l = jnp.minimum(f_qpos, f_tpos) + OVER_SEARCH_M2
+    long_cap = jnp.where(is_l[:, None], long_cap_l, long_cap_r)
+    lstep = jnp.where(is_l, -1, 1)[:, None]
+    lq = jnp.where(is_l[:, None], qbase + f_qpos - 1, qbase + f_qpos + K9)
+    lw = jnp.where(is_l[:, None], t0[:, None] + f_tpos - 1,
+                   t0[:, None] + f_tpos + K9)
+    longr = _run_len2(inp.codes_fr, inp.buf_len, lanes, lq, lstep, win,
+                      win_len, lw, lstep, long_cap, f_ok)
+    back = jnp.where(is_l[:, None], longr, f_short)
+    fwd = jnp.where(is_l[:, None], f_short, longr)
+    total = back + fwd + 1
+    emit = f_ok & (total >= 4)
+    # gold appends (q - back) & U32 and (tpos - back + t_st) & U32: the
+    # biased t_st can wrap BACK into normal coordinates (>= 2^32 in gold,
+    # >= T_BIAS here); negative q wraps huge (+T_BIAS here)
+    node_q = f_qpos - back
+    node_q = jnp.where(node_q < 0, node_q + T_BIAS, node_q)
+    node_t = f_tpos - back + t_st[:, None]
+    node_t = jnp.where(node_t >= T_BIAS, node_t - T_BIAS, node_t)
+
+    # append to sms in order (gold clears sms per middle gap: matches
+    # start at slot 1 there, after node0)
+    base_slot = jnp.where(is_mid, 1, st.n_sms)
+    dest = base_slot[:, None] + jnp.cumsum(emit.astype(I32), axis=1) - 1
+    n_new = jnp.sum(emit, axis=1)
+    f5 = act & (base_slot + n_new + 1 > S_CAP)
+    st = st._replace(fallback=st.fallback | f5,
+                     fb_reason=st.fb_reason | jnp.where(f5, 16, 0))
+    # scatter via a dump slot: non-emitted candidates write to slot S_CAP
+    smsp = jnp.concatenate(
+        [st.sms, jnp.zeros((B, 1, 4), I32)], axis=1)
+    upd = emit & (dest < S_CAP)
+    dest_safe = jnp.where(upd, dest, S_CAP)
+    vals = jnp.stack([node_q, node_t, total, jnp.zeros_like(total)], axis=2)
+    smsp = smsp.at[lanes[:, None], dest_safe].set(vals)
+    sms = smsp[:, :S_CAP]
+
+    # MID: slot0 = pre node (score=mid_score), last slot = cur node
+    mid_act = act & is_mid
+    node0 = jnp.stack([pre_a[:, 0], pre_a[:, 1], pre_a[:, 2] - K9 + 1,
+                       st.mid_score], 1)
+    sms = jnp.where(mid_act[:, None, None], sms.at[:, 0, :].set(node0), sms)
+    last = jnp.clip(jnp.where(is_mid, 1 + n_new, st.n_sms + n_new), 0,
+                    S_CAP - 1)
+    nodeC = jnp.stack([cur_a[:, 0], cur_a[:, 1], cur_a[:, 2] - K9 + 1,
+                       jnp.zeros((B,), I32)], 1)
+    sms = sms.at[lanes, last].set(
+        jnp.where(mid_act[:, None], nodeC, sms[lanes, last]))
+
+    new_n = jnp.where(is_mid, 2 + n_new, st.n_sms + n_new)
+    new_n = jnp.minimum(new_n, S_CAP)
+    new_cur = jnp.where(is_mid, 1, st.cur_sms)
+    st = st._replace(
+        sms=sms,
+        n_sms=jnp.where(act, new_n, st.n_sms),
+        cur_sms=jnp.where(act, new_cur, st.cur_sms))
+
+    # advance window cursor (left may wrap below 0: surrogate bias)
+    ct2 = jnp.where(is_r, st.c_t_off + msr - K9 - 3, st.c_t_off - msr + K9 + 3)
+    ct2 = ct2 + jnp.where(ct2 < 0, T_BIAS, 0)
+    st = st._replace(c_t_off=jnp.where(act & ~is_mid, ct2, st.c_t_off))
+
+    # side post-fetch checks
+    side_act = act & ~is_mid
+    no_new = side_act & (n_new == 0)
+    first_new = sms[lanes, jnp.clip(st.cur_sms, 0, S_CAP - 1)]
+    best_t = sms[lanes, jnp.clip(st.max_id, 0, S_CAP - 1), 1]
+    far = side_act & ~no_new & jnp.where(
+        is_l, first_new[:, 1] + 1000 < best_t,
+        first_new[:, 1] > best_t + 1000)
+    st = _side_complete(st, no_new | far, lanes)
+    # lanes that fetched and continue clear the flag; lanes that broke got
+    # their flag from _side_complete (True when entering the left side)
+    cleared = act & ~(no_new | far)
+    st = st._replace(need_fetch=jnp.where(cleared, False, st.need_fetch))
+    return st
+
+
+PROC_PER_ITER = 8
+MAX_ITERS = 4096  # safety: lanes still live at the cap fall back to host
+
+
+@functools.partial(jax.jit, static_argnames=("n_bases",))
+def rescore_kernel(inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
+                   n_bases: int):
+    """Run get_score_m2 for every read lane. Returns (chains, fallback)."""
+    B = inp.n_chains.shape[0]
+    z = jnp.zeros((B,), I32)
+    st = VMState(
+        mode=jnp.where(inp.n_chains > 0, M_NEXT, M_DONE), chain_i=z - 1,
+        chains=inp.chains, side_total=z, score_ori=z, c_t_off=z,
+        last_search=jnp.zeros((B,), bool), sms=jnp.zeros((B, S_CAP, 4), I32),
+        n_sms=z, cur_sms=z, max_id=z, mid_cur=z - 1, mid_score=z,
+        mid_is_combine=jnp.zeros((B,), bool), save_side=z, save_nodemax=z,
+        save_len=z, fallback=jnp.zeros((B,), bool), fb_reason=z,
+        need_fetch=jnp.zeros((B,), bool))
+
+    def cond(c_st):
+        it, st = c_st
+        return (it < MAX_ITERS) & ((st.mode != M_DONE) & ~st.fallback).any()
+
+    def body(c_st):
+        it, st = c_st
+        for _ in range(PROC_PER_ITER):
+            st = _proc_micro(st, inp)
+        st = _fetch_step(st, inp, ref_bin, ref_off, ref_len_arr, n_bases)
+        return it + 1, st
+
+    it, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+    overcap = (st.mode != M_DONE) & ~st.fallback
+    reason = st.fb_reason | jnp.where(overcap, 32, 0)
+    return st.chains, st.fallback | overcap, reason

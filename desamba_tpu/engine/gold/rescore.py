@@ -417,6 +417,15 @@ def delete_small_score_rst(idx, chains, dirs, l_read, state, opts):
     """src/cly.c:2883-2993. `state` carries max_read_l batch history."""
     if not chains:
         return
+    truncate_chains(chains)
+    sc_hash = sc_hash_idx(chains)
+    rk_cache: dict = {}
+    get_score_m2(idx, chains, dirs, l_read, sc_hash, rk_cache)
+    post_rescore_finish(chains, l_read, state, opts)
+
+
+def truncate_chains(chains):
+    """Pre-rescore truncation (src/cly.c:2891-2897)."""
     if len(chains) > 200:
         rst_num = 200
         while rst_num < len(chains) and chains[rst_num].sum_score > 50:
@@ -424,10 +433,12 @@ def delete_small_score_rst(idx, chains, dirs, l_read, state, opts):
         del chains[rst_num:]
     del chains[400:]
 
-    sc_hash = sc_hash_idx(chains)
-    rk_cache: dict = {}
-    get_score_m2(idx, chains, dirs, l_read, sc_hash, rk_cache)
 
+def post_rescore_finish(chains, l_read, state, opts):
+    """Everything after get_score_m2 (src/cly.c:2912-2993): position sort,
+    chain merge, adaptive filters, MEM-score sort, truncation. Shared by
+    the gold and device engines (the device engine computes sum_score and
+    bounds on device, then finishes here)."""
     # sort by position (stable 3-way cmp: ref asc, t_st asc, score desc)
     chains.sort(key=lambda c: (c.ref_id, c.t_st, -c.sum_score))
     n = len(chains)
