@@ -142,8 +142,10 @@ def mem_probe(fm_blocks, lf, row_char, rank6, hash13, codes, str_idx, pre_v,
     res_sa_l = jnp.zeros((N, R), jnp.int32)
     res_valid = jnp.zeros((N, R), bool)
 
-    for k in range(R):
-        row = n_sp + U32(k)
+    def row_body(k, carry):
+        (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
+         spset, spcount) = carry
+        row = n_sp + k.astype(U32)
         do = ok & (k < n_rows)
         spset, spcount, ins_ok = _spset_insert(spset, spcount, row, do)
         do_walk = do & ins_ok
@@ -194,6 +196,9 @@ def mem_probe(fm_blocks, lf, row_char, rank6, hash13, codes, str_idx, pre_v,
         res_sa_ok = res_sa_ok.at[:, k].set(sa_ok)
         res_sa_l = res_sa_l.at[:, k].set(sa_l)
         res_valid = res_valid.at[:, k].set(valid)
+        return (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
+                spset, spcount)
 
-    return (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
-            spset, spcount)
+    carry = (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
+             spset, spcount)
+    return jax.lax.fori_loop(0, R, row_body, carry)

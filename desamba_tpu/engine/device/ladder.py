@@ -69,15 +69,22 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
         has_mem = r_valid.any(axis=1) & active
 
         max_score = jnp.zeros((N,), I32)
-        for k in range(MEM_SEARCH_FAST):
-            mk = active & r_valid[:, k]
-            q_off = str_idx - r_len[:, k]
+
+        def map_body(k, carry):
+            anchors, a_cnt, max_score = carry
+            dx = lambda a: jax.lax.dynamic_index_in_dim(a, k, 1, False)
+            mk = active & dx(r_valid)
+            q_off = str_idx - dx(r_len)
             anchors, a_cnt, ms = map_seed_lanes(
                 ixr, codes_fr, buf_len, q_mem, q_lv, ridx, base, read_len,
-                direction, sid, r_sp[:, k].astype(I32), r_len[:, k],
-                r_sa_ok[:, k], r_sa[:, k].astype(I32), r_sa_l[:, k], q_off,
+                direction, sid, dx(r_sp).astype(I32), dx(r_len),
+                dx(r_sa_ok), dx(r_sa).astype(I32), dx(r_sa_l), q_off,
                 mk, anchors, a_cnt, a_cap=a_cap)
             max_score = jnp.where(mk, jnp.maximum(max_score, ms), max_score)
+            return anchors, a_cnt, max_score
+
+        anchors, a_cnt, max_score = jax.lax.fori_loop(
+            0, MEM_SEARCH_FAST, map_body, (anchors, a_cnt, max_score))
 
         j2 = jnp.where(active,
                        jnp.where(has_mem,
@@ -127,16 +134,23 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
             str_idx, pre_v, active, spset, spcount,
             MEM_SEARCH_SLOW, min_match_len, col_off=base, row_idx=ridx)
         (r_len, r_sp, r_sa, r_sa_ok, r_sa_l, r_valid, spset, spcount) = out
-        for k in range(MEM_SEARCH_SLOW):
-            take = active & r_valid[:, k]
+
+        def coll_body(k, carry):
+            mems, m_cnt = carry
+            dx = lambda a: jax.lax.dynamic_index_in_dim(a, k, 1, False)
+            take = active & dx(r_valid)
             rec = jnp.stack([
-                r_len[:, k], r_sp[:, k].astype(I32), r_sa[:, k].astype(I32),
-                r_sa_ok[:, k].astype(I32), r_sa_l[:, k], str_idx], axis=1)
+                dx(r_len), dx(r_sp).astype(I32), dx(r_sa).astype(I32),
+                dx(r_sa_ok).astype(I32), dx(r_sa_l), str_idx], axis=1)
             slot = jnp.minimum(m_cnt, m_cap - 1)
             write = take & (m_cnt < m_cap)
             mems = mems.at[lanes, slot].set(
                 jnp.where(write[:, None], rec, mems[lanes, slot]))
             m_cnt = jnp.where(take, m_cnt + 1, m_cnt)
+            return mems, m_cnt
+
+        mems, m_cnt = jax.lax.fori_loop(0, MEM_SEARCH_SLOW, coll_body,
+                                        (mems, m_cnt))
         j2 = jnp.where(active, j - 2, j)
         active2 = active & (j2 >= 1)
         return active2, j2, spset, spcount, mems, m_cnt
@@ -154,8 +168,10 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
 
     anchors = jnp.zeros((N, a_cap, A_NF), I32)
     a_cnt = jnp.zeros((N,), I32)
-    for k in range(MEM_SEARCH_SLOW):
-        sel = order[:, k]
+
+    def map_body(k, carry):
+        anchors, a_cnt = carry
+        sel = jax.lax.dynamic_index_in_dim(order, k, 1, False)
         rec = mems[lanes, jnp.minimum(sel, m_cap - 1)]
         ok = lane_on & (k < stored)
         str_idx = rec[:, 5]
@@ -164,4 +180,8 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
             ixr, codes_fr, buf_len, q_mem, q_lv, ridx, base, read_len,
             direction, sid, rec[:, 1], rec[:, 0], rec[:, 3].astype(bool),
             rec[:, 2], rec[:, 4], q_off, ok, anchors, a_cnt, a_cap=a_cap)
+        return anchors, a_cnt
+
+    anchors, a_cnt = jax.lax.fori_loop(0, MEM_SEARCH_SLOW, map_body,
+                                       (anchors, a_cnt))
     return anchors, a_cnt, overflow

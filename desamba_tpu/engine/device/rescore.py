@@ -682,8 +682,8 @@ def rescore_kernel(inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
 
     def body(c_st):
         it, st = c_st
-        for _ in range(PROC_PER_ITER):
-            st = _proc_micro(st, inp)
+        st = jax.lax.fori_loop(0, PROC_PER_ITER,
+                               lambda _k, s: _proc_micro(s, inp), st)
         st = _fetch_step(st, inp, ref_bin, ref_off, ref_len_arr, n_bases)
         return it + 1, st
 

@@ -185,6 +185,33 @@ def test_map_seed_lanes_parity(device_setup):
         assert int(maxs_h[i]) == c["ret"], f"call {i} ret"
 
 
+def test_device_classifier_end_to_end(device_setup):
+    """Full device pipeline (ladders + rescore) == gold on noisy reads."""
+    from desamba_tpu.engine.device.classifier import DeviceClassifier
+    from desamba_tpu.engine.gold.classify import ClassifyEngine, Options
+    from desamba_tpu.io.sam import format_result
+
+    idx, _dix, _ = device_setup
+    rng = np.random.default_rng(21)
+    reads = _random_reads(idx, 10, rng)
+
+    class Rec:
+        def __init__(self, i, seq):
+            self.name = f"r{i}"
+            self.seq = "".join("ACGT"[c] for c in seq)
+            self.qual = None
+
+    recs = [Rec(i, r) for i, r in enumerate(reads)]
+    opts = Options()
+    gold = ClassifyEngine(idx, Options())
+    exp = [format_result(gold.classify_read(r.name, r.seq, r.qual),
+                         idx.ref_name, opts) for r in recs]
+    dev = DeviceClassifier(idx, Options())
+    got = [format_result(res, idx.ref_name, opts)
+           for res in dev.classify_reads(recs)]
+    assert got == exp
+
+
 def test_mem_probe_parity(device_setup):
     """Batched MEM probes == gold bwt_mem_search incl. SP_SET dedup."""
     from desamba_tpu.engine.device.fm import mem_probe
