@@ -213,11 +213,99 @@ def ana_meta_base(rst_records, tax_path, rst_name, out=sys.stdout):
 
 
 def run_analysis(mode: str, args: list, out=sys.stdout):
+    """simDataTest dispatcher (src/analysis.c:2640-2683)."""
+    from . import evaluate as ev
+
     if mode == "ana_meta":
         sam, tax = args
         ana_meta(sam_to_rst(sam), tax, sam + ".temp", out)
     elif mode == "ana_meta_base":
         sam, tax = args
         ana_meta_base(sam_to_rst(sam), tax, sam + ".temp", out)
+    elif mode == "ana_meta_rst":
+        rst, tax = args
+        ana_meta(ev.rst_from_file(rst), tax, rst, out)
+    elif mode == "ana_meta_cen":
+        cen, tax = args
+        ana_meta(ev.centrifuge_to_rst(cen), tax, cen + ".temp", out)
+    elif mode == "ana_meta_cen_base":
+        cen, tax = args
+        ana_meta_base(ev.centrifuge_to_rst(cen), tax, cen + ".temp", out)
+    elif mode == "ana_meta_kai":
+        kai, tax = args
+        ana_meta(ev.kaiju_to_rst(kai), tax, kai + ".temp", out)
+    elif mode == "ana_meta_kai_base":
+        kai, tax, lens_fn = args
+        lengths = {}
+        with open(lens_fn) as f:
+            for line in f:
+                t = line.split()
+                if len(t) >= 2:
+                    lengths[int(t[0])] = int(t[1])
+        recs = ev.kaiju_to_rst(kai)
+        for r in recs:
+            r.read_length = lengths.get(int(r.read_name[11:] or 0), 0)
+        ana_meta_base(recs, tax, kai + ".temp", out)
+    elif mode == "ana_matemaps_base":
+        mm, tax, exchange = args
+        ana_meta_base(ev.metamaps_to_rst(mm, exchange), tax, mm + ".temp",
+                      out)
+    elif mode in ("ana_species", "ana_genus"):
+        sam, right_tax, tax = args
+        rank = "species" if mode == "ana_species" else "genus"
+        ev.ana_tax(sam_to_rst(sam), int(right_tax), tax, rank,
+                   sam + ".temp", out)
+    elif mode == "ana_sam":
+        sam, right_tax, tax, rank = args
+        ev.ana_tax(sam_to_rst(sam), int(right_tax), tax, rank,
+                   sam + ".temp", out)
+    elif mode == "ana_paf":
+        paf, right_tax, tax, rank = args
+        ev.ana_tax(ev.paf_to_rst(paf), int(right_tax), tax, rank,
+                   paf + ".temp", out)
+    elif mode == "ana_cen":
+        cen, right_tax, tax, rank = args
+        ev.ana_tax(ev.centrifuge_to_rst(cen), int(right_tax), tax, rank,
+                   cen + ".temp", out)
+    elif mode == "ana_kai":
+        kai, right_tax, tax, rank = args
+        ev.ana_tax(ev.kaiju_to_rst(kai), int(right_tax), tax, rank,
+                   kai + ".temp", out)
+    elif mode == "ana_BLASTN":
+        ev.ana_blastn(args[0])
+    elif mode in ("ana_sam_filter", "ana_dump_filter"):
+        src, right_tax, tax, rank, filt = args
+        recs = (sam_to_rst(src) if mode == "ana_sam_filter"
+                else ev.rst_from_file(src))
+        ev.ana_tax(recs, int(right_tax), tax, rank, src + ".temp", out,
+                   filter_map=ev.load_filter_map(filt))
+    elif mode == "ana_paf_filter":
+        paf, right_tax, tax, rank, filt = args
+        ev.ana_tax(ev.paf_to_rst(paf), int(right_tax), tax, rank,
+                   paf + ".temp", out,
+                   filter_map=ev.load_filter_map(filt))
+    elif mode == "mark_genus":
+        sam, tax = args
+        ev.mark_sam(sam, tax, "genus", out)
+    elif mode == "count_base":
+        ev.count_base(args[0])
+    elif mode == "get_read_by_NAME":
+        ev.get_read_by_name(args[0], args[1], out)
+    elif mode == "reverse_read":
+        ev.reverse_read(args[0])
+    elif mode == "split_fastq":
+        ev.split_fastq(args[0], int(args[1]), int(args[2]), out)
+    elif mode == "pacbio_filter":
+        ev.pacbio_filter(args[0], out)
+    elif mode == "fastq_to_fasta":
+        ev.fastq_to_fasta(args[0], out)
+    elif mode == "fastq_to_name":
+        ev.fastq_to_name(args[0], out)
+    elif mode == "ana_univ":
+        ev.uni_v_analysis(args[0], out)
+    elif mode == "rst_stat":
+        ev.rst_stat(ev.rst_from_file(args[0]))
+    elif mode == "file_cmp":
+        ev.file_cmp_bin(args[0], args[1])
     else:
         raise SystemExit(f"analysis mode [{mode}] unsupported")

@@ -29,7 +29,7 @@ from ..gold.rescore import (
 )
 from ...index.kmers import rolling_kmers
 from .arrays import DeviceIndex
-from .islands import bloom_hit_kernel
+from .islands import bloom_hit_kernel, segment_islands
 from .ladder import fast_ladder, slow_ladder
 from .mapseed import A_NF
 from .pipeline import pre13_values
@@ -98,7 +98,9 @@ class DeviceClassifier:
                                          idx.single_base_max)
                 hit = exist_mask(kmers, idx.ekmer0, idx.ekmer1,
                                  idx.e_hash_mask)
-                seeds = search_islands(hit, direction)
+                # run-based walk == gold search_islands (tested parity),
+                # ~20x fewer python iterations
+                seeds = segment_islands(hit, n_kmers, direction)
                 total = mark_top(seeds, n_kmers, direction)
                 dirs.append(SearchDir(seeds, bin_read, hit, direction, total,
                                       buf, base))

@@ -89,3 +89,50 @@ def test_demo_parity(reference_binary, synthetic, tmp_path, mode):
     ref = _ref_analysis(reference_binary, mode, sam, nodes, tmp_path)
     got = _my_analysis(mode, sam, nodes)
     assert got == ref
+
+@pytest.mark.parametrize("mode,extra", [
+    ("ana_species", ["31"]),
+    ("ana_genus", ["30"]),
+    ("ana_sam", ["10", None, "superkingdom"]),
+])
+def test_ana_tax_parity(reference_binary, synthetic, mode, extra):
+    """Accuracy modes vs the reference binary (stdout + stderr stats)."""
+    import subprocess as sp
+
+    sam, nodes = synthetic
+    args = [str(reference_binary), "analysis", mode, sam.name]
+    my_args = [sam.name]
+    for a in extra:
+        if a is None:
+            args.append(str(nodes))
+            my_args.append(str(nodes))
+        else:
+            args.append(a)
+            my_args.append(a)
+    if None not in extra:
+        args.append(str(nodes))
+        my_args.append(str(nodes))
+    r = sp.run(args, cwd=str(sam.parent), capture_output=True, text=True,
+               check=True)
+
+    import contextlib
+    import io
+    import os
+
+    from desamba_tpu.analysis.taxonomy import run_analysis
+
+    out, err = io.StringIO(), io.StringIO()
+    cwd = os.getcwd()
+    os.chdir(sam.parent)
+    try:
+        with contextlib.redirect_stderr(err):
+            # route ana_tax's stderr writes through the redirect
+            import desamba_tpu.analysis.evaluate as ev
+            orig = ev.sys.stderr
+            ev_err = err
+            run_analysis_out = out
+            run_analysis(mode, my_args, out)
+    finally:
+        os.chdir(cwd)
+    assert out.getvalue() == r.stdout
+    assert err.getvalue() == r.stderr
