@@ -136,3 +136,40 @@ def test_ana_tax_parity(reference_binary, synthetic, mode, extra):
         os.chdir(cwd)
     assert out.getvalue() == r.stdout
     assert err.getvalue() == r.stderr
+
+
+def test_native_fastx_parity(demo_files):
+    """Native C reader/encoder == python io.fastx on the demo FASTQ."""
+    import numpy as np
+
+    from desamba_tpu.index.kmers import CLY_BIT
+    from desamba_tpu.io import native
+    from desamba_tpu.io.fastx import read_fastx
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C compiler")
+    path = str(demo_files[1])
+    py = list(read_fastx(path))
+    names, seqs, quals = [], [], []
+    for nms, seqb, qualb, lens, hasq in native.NativeFastxReader(
+            path, batch_reads=500, batch_bases=2_000_000):
+        off = 0
+        for i, nm in enumerate(nms):
+            L = int(lens[i])
+            names.append(nm.decode())
+            seqs.append(seqb[off:off + L].decode())
+            quals.append(qualb[off:off + L].decode() if hasq[i] else None)
+            off += L
+    assert len(seqs) == len(py)
+    for i, rec in enumerate(py):
+        full = rec.name + (" " + rec.comment if rec.comment else "")
+        assert (names[i], seqs[i], quals[i]) == (full, rec.seq, rec.qual)
+    lens = np.array([len(s) for s in seqs[:40]], np.int64)
+    enc = native.encode_batch("".join(seqs[:40]).encode(), lens,
+                              int(lens.max()))
+    for i, s in enumerate(seqs[:40]):
+        bf = CLY_BIT[np.frombuffer(s.encode(), np.uint8)]
+        fr = np.concatenate([bf, (3 - bf)[::-1]])
+        assert np.array_equal(enc[i, : 2 * len(s)], fr)
