@@ -61,7 +61,7 @@ class IndexData:
     row_char: np.ndarray      # uint8, BWT char per row (0-3 ACGT, 4 '#', 5 '$')
     row_pos: np.ndarray       # int64, text position of each row's suffix
     rank: np.ndarray          # int64[6], first row per char class (src/bwt.c:133-137)
-    hash13: np.ndarray        # uint64[2^26+1], 13-mer -> row interval start
+    hash13: np.ndarray        # uint32/64[2^26+1], 13-mer -> row interval start
     dollar_pos: int           # row of the '$' suffix
 
     # unitigs / text
@@ -363,13 +363,16 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     # key per merged row: top 13 bases; sp rows with sp_pos < 13 have no key
     m_key = (m_aligned >> U64((B_KMER - L_PRE_IDX) * 2))[morder]
     m_haskey = (m_isnorm.astype(bool) | (m_tie >= U64(L_PRE_IDX)))[morder]
-    rows_b = np.arange(n_uni, n_uni + len(m_key), dtype=np.int64)
+    # 2^26-entry working arrays: int32 unless rows exceed the int32 range
+    # (RefSeq-"all" scale); the dense allocations dominate small builds
+    rdt = np.int64 if n_uni + len(m_key) + 1 >= (1 << 31) else np.int32
+    rows_b = np.arange(n_uni, n_uni + len(m_key), dtype=rdt)
     keys = m_key[m_haskey].astype(np.int64)
     krows = rows_b[m_haskey]
     # first/last row per key (keys are non-decreasing over merged order)
     n_keys = 1 << (2 * L_PRE_IDX)
-    first = np.full(n_keys, -1, dtype=np.int64)
-    last = np.full(n_keys, -1, dtype=np.int64)
+    first = np.full(n_keys, -1, dtype=rdt)
+    last = np.full(n_keys, -1, dtype=rdt)
     # keys ascending -> use searchsorted on the key array
     uk, ui = np.unique(keys, return_index=True)
     first[uk] = krows[ui]
@@ -379,13 +382,14 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     # (src/idx.c:944-961); initial fill value 0
     present = first >= 0
     ffill = np.where(present, last, 0)
-    idx_src = np.where(present, np.arange(n_keys), -1)
+    idx_src = np.where(present, np.arange(n_keys, dtype=rdt), rdt(-1))
     np.maximum.accumulate(idx_src, out=idx_src)
     prev_end = np.where(idx_src >= 0, ffill[np.maximum(idx_src, 0)], 0)
     # hash13[k]: start of k if present else end of previous present key;
     # the "previous" for position k excludes k itself when absent.
     prev_excl = np.concatenate([[0], prev_end[:-1]])
-    hash13 = np.empty(n_keys + 1, dtype=U64)
+    hdt = np.uint64 if n_uni + len(m_key) + 1 >= (1 << 32) else np.uint32
+    hash13 = np.empty(n_keys + 1, dtype=hdt)
     hash13[:n_keys] = np.where(present, first, prev_excl)
     hash13[n_keys] = prev_end[-1]
     progress("hash13")
