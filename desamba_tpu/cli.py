@@ -71,6 +71,28 @@ def cmd_analysis(args):
     run_analysis(args.mode, args.args)
 
 
+def cmd_kmersort(args):
+    """Sorted unique k-mer dump, byte-compatible with the reference's
+    `kmersort` output (src/idx_sort.c): [u64 count][u64 kmers...]."""
+    import numpy as np
+
+    from .index.kmers import BIT, rolling_kmers
+    from .io.fastx import read_fastx
+
+    vals = []
+    for rec in read_fastx(args.reference):
+        c = BIT[np.frombuffer(rec.seq.encode(), np.uint8)]
+        d = np.diff(np.concatenate([[0], (c < 4).astype(np.int8), [0]]))
+        for s, e in zip(np.flatnonzero(d == 1), np.flatnonzero(d == -1)):
+            if e - s >= args.k:
+                vals.append(rolling_kmers(c[s:e], args.k))
+    uniq = np.unique(np.concatenate(vals)) if vals else np.empty(0, np.uint64)
+    with open(args.o, "wb") as f:
+        np.uint64(len(uniq)).tofile(f)
+        uniq.tofile(f)
+    print(f"{len(uniq)} unique {args.k}-mers -> {args.o}", file=sys.stderr)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="desamba-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -99,6 +121,14 @@ def main(argv=None):
     pa.add_argument("mode")
     pa.add_argument("args", nargs="*")
     pa.set_defaults(fn=cmd_analysis)
+
+    pk = sub.add_parser(
+        "kmersort",
+        help="write sorted unique 31-mers (reference kmer.srt format)")
+    pk.add_argument("reference")
+    pk.add_argument("-k", type=int, default=31)
+    pk.add_argument("-o", default="kmer.srt")
+    pk.set_defaults(fn=cmd_kmersort)
 
     args = p.parse_args(argv)
     args.fn(args)
