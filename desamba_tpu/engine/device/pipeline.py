@@ -27,6 +27,7 @@ from . import fm as dev_fm
 from .islands import ekmer_probe_indices
 
 
+@functools.partial(jax.jit, static_argnames=("l_ek",))
 def pre13_values(codes, l_ek: int):
     """13-mer prefix value for the e-kmer ending at each position.
 
