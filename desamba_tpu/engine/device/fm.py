@@ -46,19 +46,54 @@ def _rank_from_blocks(fm_blocks, r, c):
     return base + jnp.sum(cnt, axis=1, dtype=U32)
 
 
+SP_HASH_CAP = 1024          # slots; holds <= SP_SET_CAP live entries
+SP_EMPTY = 0xFFFFFFFF       # rows are < 2^31, sentinel is safe
+
+
+def spset_init(n):
+    """Fresh per-lane SP_SET state: (table, count)."""
+    return (jnp.full((n, SP_HASH_CAP), SP_EMPTY, U32),
+            jnp.zeros((n,), jnp.int32))
+
+
 def _spset_insert(sets, counts, vals, do):
     """SP_SET insert with 500-cap wrap reset (src/cly.c:1286-1298).
 
-    sets: (N, CAP) uint32; counts: (N,); vals: (N,) uint32; do: (N,) bool.
-    Returns (sets, counts, ok) — ok False where val already present.
+    Exact set semantics as the reference's 500-entry linear array, but as
+    an open-addressed hash table: the linear scan cost 500 lanes of HBM
+    traffic per insert, dominating the ladder kernels. counts tracks
+    inserted entries, so the wrap-reset fires at the same insert as the
+    reference.
+
+    sets: (N, SP_HASH_CAP) uint32; counts: (N,); vals: (N,) uint32;
+    do: (N,) bool. Returns (sets, counts, ok) — ok False on duplicate.
     """
-    counts = jnp.where(do & (counts == SP_SET_CAP), 0, counts)
-    slot = jnp.arange(SP_SET_CAP, dtype=jnp.int32)[None, :]
-    valid = slot < counts[:, None]
-    dup = ((sets == vals[:, None]) & valid).any(axis=1) & do
+    N = counts.shape[0]
+    lanes = jnp.arange(N)
+    reset = do & (counts == SP_SET_CAP)
+    sets = jnp.where(reset[:, None], U32(SP_EMPTY), sets)
+    counts = jnp.where(reset, 0, counts)
+    h0 = (vals * U32(2654435761)) & U32(SP_HASH_CAP - 1)
+
+    def cond(st):
+        return st[3].any()
+
+    def body(st):
+        h, dup, slot, run = st
+        cur = sets[lanes, h.astype(jnp.int32)]
+        is_empty = cur == U32(SP_EMPTY)
+        is_dup = cur == vals
+        dup = dup | (run & is_dup)
+        slot = jnp.where(run & is_empty, h, slot)
+        run2 = run & ~(is_empty | is_dup)
+        h2 = jnp.where(run2, (h + U32(1)) & U32(SP_HASH_CAP - 1), h)
+        return h2, dup, slot, run2
+
+    st = (h0, jnp.zeros((N,), bool), jnp.zeros((N,), U32), do)
+    _, dup, slot, _ = jax.lax.while_loop(cond, body, st)
     ins = do & ~dup
-    sets = jnp.where(
-        ins[:, None] & (slot == counts[:, None]), vals[:, None], sets)
+    si = slot.astype(jnp.int32)
+    sets = sets.at[lanes, si].set(jnp.where(ins, vals, sets[lanes, si]))
     counts = jnp.where(ins, counts + 1, counts)
     return sets, counts, ~dup
 

@@ -45,8 +45,7 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
 
     anchors = jnp.zeros((N, a_cap, A_NF), I32)
     a_cnt = jnp.zeros((N,), I32)
-    spset = jnp.zeros((N, SP_SET_CAP), jnp.uint32)
-    spcount = jnp.zeros((N,), I32)
+    spset, spcount = dev_fm.spset_init(N)
     j = seed_len - 1
     active = lane_on & (j >= min_index)
     skip_flag = jnp.zeros((N,), bool)
@@ -113,8 +112,7 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
     lanes = jnp.arange(N, dtype=I32)
     min_match_len = min(MIN_MEM_LEN_SLOW - 1, l_ek + 1)
 
-    spset = jnp.zeros((N, SP_SET_CAP), jnp.uint32)
-    spcount = jnp.zeros((N,), I32)
+    spset, spcount = dev_fm.spset_init(N)
     mems = jnp.zeros((N, m_cap, M_NF), I32)
     m_cnt = jnp.zeros((N,), I32)
     j = seed_len - 1

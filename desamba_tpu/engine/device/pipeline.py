@@ -80,8 +80,7 @@ def seed_wave_step(fm_blocks, lf, row_char, rank6, hash13, ek0, ek1,
     p_idx, p_ok = p_idx.T, p_ok.T
     pre = pre13_values(codes, l_ek)
 
-    spset = jnp.zeros((B, SP_SET_CAP), jnp.uint32)
-    spcount = jnp.zeros((B,), jnp.int32)
+    spset, spcount = dev_fm.spset_init(B)
     lens, valids = [], []
     for k in range(n_probes):
         ki = p_idx[:, k]

@@ -116,8 +116,7 @@ def sharded_seed_step(mesh: Mesh, placed, l_ek: int, single_base_max: int,
 
         mem_lens = []
         mem_valids = []
-        spset = jnp.zeros((B, SP_SET_CAP), jnp.uint32)
-        spcount = jnp.zeros((B,), jnp.int32)
+        spset, spcount = dev_fm.spset_init(B)
         for k in range(n_probes):
             ki = p_idx[:, k]
             out = dev_fm.mem_probe.__wrapped__(

@@ -243,8 +243,8 @@ def test_mem_probe_parity(device_setup):
     min_index = MIN_MEM_LEN_FAST - l_ek
     j_state = np.array([s[1] - 1 for _, _, s in lanes])
     gold_sets = [SpSet() for _ in range(N)]
-    spset = jnp.zeros((N, SP_SET_CAP), jnp.uint32)
-    spcount = jnp.zeros((N,), jnp.int32)
+    from desamba_tpu.engine.device.fm import spset_init
+    spset, spcount = spset_init(N)
     nprobes = 0
     rounds = 0
     while rounds < 6:
@@ -283,8 +283,8 @@ def test_mem_probe_parity(device_setup):
                    for k in range(MEM_SEARCH_FAST) if host[5][i, k]]
             exp = [(r.match_len, r.sp, r.sa_sp, r.sa_sp_l) for r in m_r]
             assert got == exp, f"lane {i} j {j_state[i]}"
-            gold_rows = [x & 0xFFFFFFFF for x in gold_sets[i].items]
-            dev_rows = [int(x) for x in spset_h[i][: spcount_h[i]]]
+            gold_rows = {x & 0xFFFFFFFF for x in gold_sets[i].items}
+            dev_rows = {int(x) for x in spset_h[i] if x != 0xFFFFFFFF}
             assert gold_rows == dev_rows, f"spset lane {i}"
             j_state[i] -= 2 if not m_r else 3
     assert nprobes > 30
