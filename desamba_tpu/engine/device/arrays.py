@@ -27,6 +27,7 @@ BLOCK = 32  # rows per rank checkpoint
 class DeviceIndex:
     fm_blocks: jnp.ndarray   # (n_blocks, 9) uint32
     lf: jnp.ndarray          # (n_rows,) uint32
+    lfc: jnp.ndarray         # (n_rows,) uint32: (lf << 3) | char
     row_char: jnp.ndarray    # (n_rows,) uint8
     row_pos: jnp.ndarray     # (n_rows,) int32
     hash13: jnp.ndarray      # (2^26+1,) uint32
@@ -57,7 +58,8 @@ class DeviceIndex:
         from .mapseed import IndexRefs
 
         return IndexRefs(
-            lf=self.lf, row_char=self.row_char, row_pos=self.row_pos,
+            lf=self.lf, lfc=self.lfc, row_char=self.row_char,
+            row_pos=self.row_pos,
             uni_start=self.uni_start, uni_len=self.uni_len,
             uni_ref_list=self.uni_ref_list,
             rp_global_off=self.rp_global_off, rp_ref_id=self.rp_ref_id,
@@ -95,9 +97,12 @@ class DeviceIndex:
         from ..gold.mapq import mapq_tables
 
         q_mem, q_lv = mapq_tables(len(idx.ref_bin) * 4)
+        assert n < (1 << 28), "lfc packing needs n_rows < 2^28 (shard larger indexes)"
         return cls(
             fm_blocks=jnp.asarray(blocks),
             lf=jnp.asarray(lf.astype(np.uint32)),
+            lfc=jnp.asarray(((lf.astype(np.uint32) << 3)
+                             | chars.astype(np.uint32))),
             row_char=jnp.asarray(chars),
             row_pos=jnp.asarray(idx.row_pos.astype(np.int32)),
             hash13=jnp.asarray(idx.hash13.astype(np.uint32)),

@@ -445,7 +445,7 @@ class DeviceClassifier:
             codes_fr=jnp.asarray(codes2), buf_len=jnp.asarray(blen2),
             read_len=jnp.asarray(rlen2))
         dix = self.dix
-        chains_out, fb, _reason = dr.rescore_kernel(
+        chains_out, fb, _reason, _iters = dr.rescore_kernel(
             inp, dix.ref_bin, dix.ref_off, dix.ref_len_arr,
             n_bases=dix.n_bases)
         chains_out = np.asarray(chains_out)

@@ -99,7 +99,7 @@ def _spset_insert(sets, counts, vals, do):
 
 
 @functools.partial(jax.jit, static_argnames=("max_rst", "l_min_mth"))
-def mem_probe(fm_blocks, lf, row_char, rank6, hash13, codes, str_idx, pre_v,
+def mem_probe(fm_blocks, lfc, rank6, hash13, codes, str_idx, pre_v,
               active, spset, spcount, max_rst: int, l_min_mth: int,
               col_off=None, row_idx=None):
     """One backward MEM probe per lane (bwt_MEM_search, src/cly.c:1388-1447).
@@ -203,8 +203,9 @@ def mem_probe(fm_blocks, lf, row_char, rank6, hash13, codes, str_idx, pre_v,
             sa = jnp.where(live & sampled, wsp, sa)
             sa_ok = jnp.where(live & sampled, True, sa_ok)
             sa_l = jnp.where(live, jnp.where(sampled, 0, sa_l - 1), sa_l)
-            nsp = lf[wsp.astype(jnp.int32)]
-            c = row_char[wsp.astype(jnp.int32)].astype(jnp.int32)
+            lfc_v = lfc[wsp.astype(jnp.int32)]
+            nsp = lfc_v >> 3
+            c = (lfc_v & U32(7)).astype(jnp.int32)
             ci = jnp.clip(col_off + wstr, 0, L - 1)
             rc = jnp.where(wstr >= 0, codes[rows, ci].astype(jnp.int32), -1)
             match = live & (c == rc)

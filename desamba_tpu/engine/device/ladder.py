@@ -60,7 +60,7 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
         pre_v = pre13_fr[ridx, jnp.clip(base + ki, 0, pre13_fr.shape[1] - 1)]
         pre_v = pre_v & jnp.int32(PRE_IDX_MASK)
         out = dev_fm.mem_probe.__wrapped__(
-            fm_blocks, ixr.lf, ixr.row_char, rank6, hash13, codes_fr,
+            fm_blocks, ixr.lfc, rank6, hash13, codes_fr,
             str_idx, pre_v, active, spset, spcount,
             MEM_SEARCH_FAST, MIN_MEM_LEN_FAST - 1, col_off=base,
             row_idx=ridx)
@@ -128,7 +128,7 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
         pre_v = pre13_fr[ridx, jnp.clip(base + ki, 0, pre13_fr.shape[1] - 1)]
         pre_v = pre_v & jnp.int32(PRE_IDX_MASK)
         out = dev_fm.mem_probe.__wrapped__(
-            fm_blocks, ixr.lf, ixr.row_char, rank6, hash13, codes_fr,
+            fm_blocks, ixr.lfc, rank6, hash13, codes_fr,
             str_idx, pre_v, active, spset, spcount,
             MEM_SEARCH_SLOW, min_match_len, col_off=base, row_idx=ridx)
         (r_len, r_sp, r_sa, r_sa_ok, r_sa_l, r_valid, spset, spcount) = out

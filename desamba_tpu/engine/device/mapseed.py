@@ -47,6 +47,7 @@ class IndexRefs(NamedTuple):
     constants (slices/bounds depend on them).
     """
     lf: jnp.ndarray            # (n_rows,) uint32
+    lfc: jnp.ndarray           # (n_rows,) uint32: (lf << 3) | char
     row_char: jnp.ndarray      # (n_rows,) uint8
     row_pos: jnp.ndarray       # (n_rows,) int32
     uni_start: jnp.ndarray     # (n_uni + 1,) int32 (text start per unitig)
@@ -61,7 +62,7 @@ class IndexRefs(NamedTuple):
     n_bases: int               # len(ref_bin) * 4
 
 
-_N_ARRAYS = 10
+_N_ARRAYS = 11
 
 
 def _ixr_flatten(ix):
@@ -235,9 +236,10 @@ def map_seed_lanes(ix: IndexRefs, codes_fr, buf_len, q_mem, q_lv,
 
     def wbody(st):
         b_p, s_l, wch, _hit, run = st
-        c = ix.row_char[b_p].astype(I32)
+        lfc = ix.lfc[b_p]
+        c = (lfc & jnp.uint32(7)).astype(I32)
         is_sep = c == 4
-        new_bp = ix.lf[b_p].astype(I32)
+        new_bp = (lfc >> 3).astype(I32)
         step = run & ~is_sep
         wch = jnp.where(
             (jnp.arange(LV_L + 1)[None, :] == s_l[:, None]) & step[:, None],
@@ -281,7 +283,7 @@ def map_seed_lanes(ix: IndexRefs, codes_fr, buf_len, q_mem, q_lv,
 
     def w2body(st):
         b_p, s_l, run = st
-        new_bp = ix.lf[b_p].astype(I32)
+        new_bp = (ix.lfc[b_p] >> 3).astype(I32)
         b_p2 = jnp.where(run, new_bp, b_p)
         s_l2 = jnp.where(run, s_l + 1, s_l)
         cont = run & ((b_p2 & SA_MASK) != 0)

@@ -46,13 +46,13 @@ def pre13_values(codes, l_ek: int):
 
 def index_args(dix):
     """The positional index-array arguments of seed_wave_step."""
-    return (dix.fm_blocks, dix.lf, dix.row_char, dix.rank, dix.hash13,
+    return (dix.fm_blocks, dix.lfc, dix.rank, dix.hash13,
             dix.ekmer0, dix.ekmer1)
 
 
 @functools.partial(
     jax.jit, static_argnames=("l_ek", "single_base_max", "mask_bits", "n_probes"))
-def seed_wave_step(fm_blocks, lf, row_char, rank6, hash13, ek0, ek1,
+def seed_wave_step(fm_blocks, lfc, rank6, hash13, ek0, ek1,
                    codes, lengths, *, l_ek: int, single_base_max: int,
                    mask_bits: int, n_probes: int = 8):
     """(codes, lengths) -> (hit_count, mem_len, mem_valid).
@@ -85,7 +85,7 @@ def seed_wave_step(fm_blocks, lf, row_char, rank6, hash13, ek0, ek1,
     for k in range(n_probes):
         ki = p_idx[:, k]
         out = dev_fm.mem_probe.__wrapped__(
-            fm_blocks, lf, row_char, rank6, hash13,
+            fm_blocks, lfc, rank6, hash13,
             codes, ki + l_ek - 1,
             jnp.take_along_axis(pre, ki[:, None], 1)[:, 0],
             p_ok[:, k], spset, spcount,

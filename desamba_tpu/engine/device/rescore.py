@@ -40,7 +40,8 @@ A_CAP = 64       # anchors per read
 S_CAP = 128      # sms nodes per extension
 P_CAP = 176      # 9-mer probes per window fetch ((704-9)/4)
 H_CAP = 4        # candidate read positions per probe value
-F_CAP = 64       # candidates surviving the leftmost filter per fetch
+CF_CAP = 96      # valid candidates per fetch (stage-1 compaction)
+F_CAP = 48       # leftmost survivors per fetch (stage-2, long runs)
 W_CAP = 704      # window chars incl. 50-pad
 RUN_CHUNK = 32   # match-run extension chunk
 
@@ -110,16 +111,17 @@ def _searchsorted_rows(vals, n_valid, queries, side_left: bool):
 
 
 def _run_len2(codes_fr, buf_len, rows, qstart, qstep, win, win_len, wstart,
-              wstep, cap, active):
-    """Match-run length over a (B, F) candidate grid, chunked by RUN_CHUNK.
+              wstep, cap, active, width: int = RUN_CHUNK):
+    """Match-run length over a (B, F) candidate grid, chunked by `width`.
 
     q[qstart + qstep*k] vs win[wstart + wstep*k], k < cap; stops at the
     read buffer / window bounds. rows (B,); qstep/wstep (B, 1) +-1;
-    win (B, W_CAP), win_len (B,)."""
+    win (B, W_CAP), win_len (B,). Gather volume is B*F*width per chunk
+    iteration — keep F compacted and width matched to the cap."""
     B, F = qstart.shape
     n = jnp.zeros((B, F), I32)
     run = active & (cap > 0)
-    ar = jnp.arange(RUN_CHUNK, dtype=I32)[None, None, :]
+    ar = jnp.arange(width, dtype=I32)[None, None, :]
     blen = buf_len[rows][:, None, None]
     wlen = win_len[:, None, None]
 
@@ -143,7 +145,7 @@ def _run_len2(codes_fr, buf_len, rows, qstart, qstep, win, win_len, wstart,
         mm = (mm + (mm >> 4)) & U32(0x0F0F0F0F)
         adv = ((mm * U32(0x01010101)) >> 24).astype(I32)
         n2 = jnp.where(run, n + adv, n)
-        run2 = run & (adv == RUN_CHUNK)
+        run2 = run & (adv == width) & (n2 < cap)
         return n2, run2
 
     n, _ = jax.lax.while_loop(lambda s: s[1].any(), body, (n, run))
@@ -534,12 +536,23 @@ def _fetch_step(st: VMState, inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
     rkp = inp.rk_pos[lanes, dslot]
     rkn = inp.rk_n[lanes, dslot]
     lo = _searchsorted_rows(rkv, rkn, pv, True)
-    hi = _searchsorted_rows(rkv, rkn, pv, False)
-    f3 = (p_on & (hi - lo > H_CAP)).any(axis=1)
+    # hi via forward scan: multiplicities are tiny (<= H_CAP), so H_CAP+1
+    # gathers beat a second 14-step binary search
+    run_eq = jnp.ones(lo.shape, bool)
+    cnt = jnp.zeros(lo.shape, I32)
+    for k in range(H_CAP + 1):
+        v = rkv[lanes[:, None], jnp.clip(lo + k, 0, rkv.shape[1] - 1)]
+        run_eq = run_eq & (lo + k < rkn[:, None]) & (v == pv)
+        cnt = cnt + run_eq.astype(I32)
+    hi = lo + cnt
+    f3 = (p_on & (cnt > H_CAP)).any(axis=1)
     st = st._replace(fallback=st.fallback | f3,
                      fb_reason=st.fb_reason | jnp.where(f3, 4, 0))
 
-    # candidates: (B, P_CAP, H_CAP) -> flat (B, P_CAP*H_CAP) in gold order
+    # candidates: (B, P_CAP, H_CAP) -> flat (B, P_CAP*H_CAP) in gold order.
+    # Compact TWICE (by validity, then by the leftmost filter) before any
+    # match-run work: run gathers cost B*F*width elements, so F must be
+    # small. top_k with key = BIG - slot preserves gold's emission order.
     hidx = jnp.arange(H_CAP, dtype=I32)[None, None, :]
     cand_ok = p_on[:, :, None] & (lo[:, :, None] + hidx < hi[:, :, None])
     qpos = rkp[lanes[:, None, None],
@@ -555,26 +568,38 @@ def _fetch_step(st: VMState, inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
 
     qbase = jnp.where(chain_dir == 1, 0, l_read)[:, None]
 
+    # stage 1: compact valid candidates to CF_CAP slots (slot order kept)
+    slot_nc = jnp.arange(NC, dtype=I32)[None, :]
+    keyc, idxc = jax.lax.top_k(jnp.where(cand_ok, NC - slot_nc, 0), CF_CAP)
+    c_on = keyc > 0
+    f4a = jnp.sum(cand_ok, axis=1) > CF_CAP
+    g1 = lambda x: jnp.take_along_axis(x, idxc, axis=1)
+    c_qpos = g1(qpos)
+    c_tp = g1(c_tpos)
+    c_iv = g1(c_i)
+
     # short side check (4-char): fwd for left, back for right/mid
     sstep = jnp.where(is_l, 1, -1)[:, None]
-    sq = jnp.where(is_l[:, None], qbase + qpos + K9, qbase + qpos - 1)
-    sw = jnp.where(is_l[:, None], t0[:, None] + c_tpos + K9,
-                   t0[:, None] + c_tpos - 1)
+    sq = jnp.where(is_l[:, None], qbase + c_qpos + K9, qbase + c_qpos - 1)
+    sw = jnp.where(is_l[:, None], t0[:, None] + c_tp + K9,
+                   t0[:, None] + c_tp - 1)
     short = _run_len2(inp.codes_fr, inp.buf_len, lanes, sq, sstep, win,
-                      win_len, sw, sstep, jnp.full((B, NC), 4, I32), cand_ok)
-    lead_ok = cand_ok & ((short < 4) | (c_i == 4))
+                      win_len, sw, sstep, jnp.full((B, CF_CAP), 4, I32),
+                      c_on, width=4)
+    lead_ok = c_on & ((short < 4) | (c_iv == 4))
 
-    # compact to F_CAP for the long run
-    ordc = jnp.argsort(jnp.where(lead_ok, jnp.arange(NC)[None, :], NC + 1),
-                       axis=1, stable=True)[:, :F_CAP]
-    f4 = jnp.sum(lead_ok, axis=1) > F_CAP
+    # stage 2: compact leftmost survivors to F_CAP for the long run
+    slot_cf = jnp.arange(CF_CAP, dtype=I32)[None, :]
+    keyl, idxl = jax.lax.top_k(jnp.where(lead_ok, CF_CAP - slot_cf, 0),
+                               F_CAP)
+    f_ok = keyl > 0
+    f4 = f4a | (jnp.sum(lead_ok, axis=1) > F_CAP)
     st = st._replace(fallback=st.fallback | f4,
                      fb_reason=st.fb_reason | jnp.where(f4, 8, 0))
-    g = lambda x: jnp.take_along_axis(x, ordc, axis=1)
-    f_ok = g(lead_ok)
-    f_qpos = g(qpos)
-    f_tpos = g(c_tpos)
-    f_short = g(short)
+    g2 = lambda x: jnp.take_along_axis(x, idxl, axis=1)
+    f_qpos = g2(c_qpos)
+    f_tpos = g2(c_tp)
+    f_short = g2(short)
 
     ms_u = (q_ed[:, None].astype(U32) - f_qpos.astype(U32) - U32(1))
     long_cap_r = (jnp.minimum(ms_u, (t_len[:, None] - f_tpos - 1).astype(U32))
@@ -690,4 +715,4 @@ def rescore_kernel(inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
     it, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
     overcap = (st.mode != M_DONE) & ~st.fallback
     reason = st.fb_reason | jnp.where(overcap, 32, 0)
-    return st.chains, st.fallback | overcap, reason
+    return st.chains, st.fallback | overcap, reason, it

@@ -49,8 +49,7 @@ def shard_index(mesh: Mesh, dix):
     shard0 = NamedSharding(mesh, P("idx"))
     placed = {
         "fm_blocks": jax.device_put(dix.fm_blocks, repl),
-        "lf": jax.device_put(dix.lf, repl),
-        "row_char": jax.device_put(dix.row_char, repl),
+        "lfc": jax.device_put(dix.lfc, repl),
         "rank": jax.device_put(dix.rank, repl),
         "hash13": jax.device_put(dix.hash13, repl),
         "ekmer0": jax.device_put(dix.ekmer0, shard0),
@@ -72,7 +71,7 @@ def sharded_seed_step(mesh: Mesh, placed, l_ek: int, single_base_max: int,
     table_len = placed["ekmer0"].shape[0]
     shard_len = table_len // n_idx
 
-    def step(fm_blocks, lf, row_char, rank6, hash13, ek0, ek1, codes, lengths):
+    def step(fm_blocks, lfc, rank6, hash13, ek0, ek1, codes, lengths):
         b1, s1, b2, s2, valid = ekmer_probe_indices(
             codes, lengths, l_ek, single_base_max, mask_bits)
         me = jax.lax.axis_index("idx") * shard_len
@@ -120,7 +119,7 @@ def sharded_seed_step(mesh: Mesh, placed, l_ek: int, single_base_max: int,
         for k in range(n_probes):
             ki = p_idx[:, k]
             out = dev_fm.mem_probe.__wrapped__(
-                fm_blocks, lf, row_char, rank6, hash13, codes,
+                fm_blocks, lfc, rank6, hash13, codes,
                 ki + l_ek - 1, jnp.take_along_axis(pre, ki[:, None], 1)[:, 0],
                 p_ok[:, k], spset, spcount,
                 MEM_SEARCH_FAST, MIN_MEM_LEN_FAST - 1)
@@ -133,7 +132,7 @@ def sharded_seed_step(mesh: Mesh, placed, l_ek: int, single_base_max: int,
 
     from jax.experimental.shard_map import shard_map
 
-    spec_in = (P(), P(), P(), P(), P(), P("idx"), P("idx"), P("dp"), P("dp"))
+    spec_in = (P(), P(), P(), P(), P("idx"), P("idx"), P("dp"), P("dp"))
     spec_out = (P("dp"), P("dp"), P("dp"))
     sm = jax.jit(shard_map(step, mesh=mesh, in_specs=spec_in,
                            out_specs=spec_out, check_rep=False))
@@ -141,7 +140,7 @@ def sharded_seed_step(mesh: Mesh, placed, l_ek: int, single_base_max: int,
     def run(codes, lengths):
         # placed arrays are runtime args of the jitted shard_map (passing
         # them via closure would embed them as HLO constants)
-        return sm(placed["fm_blocks"], placed["lf"], placed["row_char"],
+        return sm(placed["fm_blocks"], placed["lfc"],
                   placed["rank"], placed["hash13"], placed["ekmer0"],
                   placed["ekmer1"], codes, lengths)
 

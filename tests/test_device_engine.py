@@ -261,7 +261,7 @@ def test_mem_probe_parity(device_setup):
             pre_v[i] = int(km[ki]) & PRE_IDX_MASK
             str_idx[i] = ki + l_ek - 1
             act[i] = True
-        out = mem_probe(dix.fm_blocks, dix.lf, dix.row_char, dix.rank,
+        out = mem_probe(dix.fm_blocks, dix.lfc, dix.rank,
                         dix.hash13, codes_d, jnp.asarray(str_idx),
                         jnp.asarray(pre_v), jnp.asarray(act), spset, spcount,
                         MEM_SEARCH_FAST, MIN_MEM_LEN_FAST - 1)
