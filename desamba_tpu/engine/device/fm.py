@@ -25,12 +25,18 @@ U32 = jnp.uint32
 
 
 def _rank_from_blocks(fm_blocks, r, c):
-    """occ(c, r): count of char c in rows [0, r). r, c: (N,) int32."""
+    """occ(c, r): count of char c in rows [0, r). r, c: (N,) int32.
+
+    Gathers only the 5 needed words per block (base count for c + the 4
+    char words) instead of the full 9-word row."""
     blk = r // BLOCK
     within = r - blk * BLOCK
-    rows = fm_blocks[blk]  # (N, 9)
-    base = jnp.take_along_axis(rows, c[:, None], axis=1)[:, 0]
-    words = rows[:, 5:9]
+    fb = fm_blocks.reshape(-1)
+    off = blk * 9
+    idx = jnp.stack([off + c, off + 5, off + 6, off + 7, off + 8], axis=1)
+    got = fb[idx]  # (N, 5)
+    base = got[:, 0]
+    words = got[:, 1:5]
     pattern = c.astype(U32) * U32(0x11111111)
     x = words ^ pattern[:, None]
     y = ~(x | (x >> 1) | (x >> 2) | (x >> 3)) & U32(0x11111111)
