@@ -63,6 +63,19 @@ def cmd_classify(args):
           f"({n / 1e3 / (dt / 60):.1f} Kseq/m).", file=sys.stderr)
     if args.o is not None:
         out.close()
+    _report_peak_rss()
+
+
+def _report_peak_rss():
+    """Reference main.c:51 prints peak RSS at exit (unit label bug kept
+    in spirit, value in GB)."""
+    try:
+        import resource
+
+        gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        print(f"MAX MEM:[{gb:.3f}] Gbp", file=sys.stderr)
+    except Exception:
+        pass
 
 
 def cmd_analysis(args):
