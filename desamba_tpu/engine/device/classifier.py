@@ -131,10 +131,11 @@ class DeviceClassifier:
                 jnp.asarray(cols[2]), jnp.asarray(cols[3]),
                 jnp.asarray(cols[4]), jnp.asarray(cols[5]), jnp.asarray(on))
         if kind == "fast":
-            out = fast_ladder(*args, l_ek=self.idx.len_e_kmer, a_cap=A_CAP)
+            out = fast_ladder(*args, l_ek=self.idx.len_e_kmer, a_cap=A_CAP,
+                              pack_cap=2 * NB)
         else:
             out = slow_ladder(*args, l_ek=self.idx.len_e_kmer, a_cap=A_CAP,
-                              m_cap=M_CAP)
+                              m_cap=M_CAP, pack_cap=2 * NB)
         return [np.asarray(x) for x in jax.block_until_ready(out)]
 
     def _run_fast(self, lanes, codes_fr, buf_len, pre13, read_lens):
@@ -146,7 +147,8 @@ class DeviceClassifier:
                                 read_lens)
 
     @staticmethod
-    def _collect_group(lane_ids, anchors_h, acnt_h, skip_h, out, fallback):
+    def _collect_group(lane_ids, packed_h, base_h, acnt_h, skip_h, out,
+                       fallback):
         """Apply skip_next + useless marking for one (read, dir) group of
         fast lanes (in island order); append Anchor objects to out."""
         skip_next = False
@@ -158,7 +160,8 @@ class DeviceClassifier:
             if cnt > A_CAP:
                 fallback[0] = True
                 return
-            rows = anchors_h[lid, :cnt]
+            b = int(base_h[lid])
+            rows = packed_h[b : b + cnt]
             top = 35
             for r in rows:
                 top = max(top, int(r[1]))
@@ -222,6 +225,8 @@ class DeviceClassifier:
         fast_out = self._run_fast(fast_lanes, codes_fr, buf_len, pre13, rl)
 
         fallback_reads = set()
+        if fast_out is not None and bool(fast_out[4]):
+            fallback_reads.update(todo)
         chains_by_read = {}
         anchors_by_read = {}
         slow0_lanes, slow0_groups = [], {}
@@ -231,7 +236,8 @@ class DeviceClassifier:
             fb = [False]
             for dpos in range(2 if both else 1):
                 self._collect_group(fast_groups[(i, dpos)], fast_out[0],
-                                    fast_out[1], fast_out[2], anchors, fb)
+                                    fast_out[1], fast_out[2], fast_out[3],
+                                    anchors, fb)
             if fb[0]:
                 fallback_reads.add(i)
                 continue
@@ -260,6 +266,8 @@ class DeviceClassifier:
                 slow0_groups[i] = ids
 
         slow0_out = self._run_slow(slow0_lanes, codes_fr, buf_len, pre13, rl)
+        if slow0_out is not None and bool(slow0_out[4]):
+            fallback_reads.update(slow0_groups.keys())
 
         # ---- slow dir0 results + decide slow dir1 -------------------------
         slow1_lanes, slow1_groups = [], {}
@@ -270,8 +278,8 @@ class DeviceClassifier:
             anchors = []
             fb = [False]
             self._collect_group(slow0_groups[i], slow0_out[0], slow0_out[1],
-                                None, anchors, fb)
-            if fb[0] or any(slow0_out[2][lid] for lid in slow0_groups[i]):
+                                slow0_out[2], None, anchors, fb)
+            if fb[0] or any(slow0_out[3][lid] for lid in slow0_groups[i]):
                 fallback_reads.add(i)
                 continue
             chains = []
@@ -291,6 +299,8 @@ class DeviceClassifier:
                 slow1_groups[i] = ids
 
         slow1_out = self._run_slow(slow1_lanes, codes_fr, buf_len, pre13, rl)
+        if slow1_out is not None and bool(slow1_out[4]):
+            fallback_reads.update(slow1_groups.keys())
 
         for i in list(slow1_groups):
             if i in fallback_reads:
@@ -298,8 +308,8 @@ class DeviceClassifier:
             anchors = anchors_by_read[i]
             fb = [False]
             self._collect_group(slow1_groups[i], slow1_out[0], slow1_out[1],
-                                None, anchors, fb)
-            if fb[0] or any(slow1_out[2][lid] for lid in slow1_groups[i]):
+                                slow1_out[2], None, anchors, fb)
+            if fb[0] or any(slow1_out[3][lid] for lid in slow1_groups[i]):
                 fallback_reads.add(i)
                 continue
             chains = []

@@ -28,17 +28,38 @@ from .mapseed import A_NF, IndexRefs, map_seed_lanes
 
 I32 = jnp.int32
 
+
+def pack_anchors(anchors, a_cnt, pack_cap: int):
+    """Compact per-lane anchor buffers into one flat (pack_cap, A_NF)
+    array on device: the tunnel downloads ~10 MB/s, so shipping the
+    sparse (N, a_cap, A_NF) buffers dominated wall time. Returns
+    (packed, base, overflow) with base = exclusive prefix of a_cnt."""
+    N, A, F = anchors.shape
+    cnt = jnp.minimum(a_cnt, A)
+    base = jnp.cumsum(cnt) - cnt
+    slot = jnp.arange(A, dtype=I32)[None, :]
+    valid = slot < cnt[:, None]
+    dest = base[:, None] + slot
+    ok = valid & (dest < pack_cap)
+    dest_safe = jnp.where(ok, dest, pack_cap)
+    packed = jnp.zeros((pack_cap + 1, F), I32).at[dest_safe].set(anchors)
+    overflow = (base + cnt > pack_cap).any()
+    return packed[:pack_cap], base, overflow
+
 # slow-mode collected MEM record: (match_len, sp, sa_row, sa_ok, sa_l, str_idx)
 M_NF = 6
 
 
-@functools.partial(jax.jit, static_argnames=("l_ek", "a_cap"))
+@functools.partial(jax.jit,
+                   static_argnames=("l_ek", "a_cap", "pack_cap"))
 def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
                 pre13_fr, q_mem, q_lv, ridx, base, read_len, direction, sid,
-                seed_off, seed_len, lane_on, *, l_ek: int, a_cap: int):
+                seed_off, seed_len, lane_on, *, l_ek: int, a_cap: int,
+                pack_cap: int):
     """Run the full fast ladder for every lane; returns
-    (anchors, a_cnt, skip_flag) — skip_flag True where the island ended
-    with max_score > 512 (drops the NEXT island, applied on host)."""
+    (packed_anchors, a_base, a_cnt, skip_flag, pack_overflow) —
+    skip_flag True where the island ended with max_score > 512 (drops
+    the NEXT island, applied on host)."""
     N = ridx.shape[0]
     lanes = jnp.arange(N, dtype=I32)
     min_index = MIN_MEM_LEN_FAST - l_ek
@@ -98,16 +119,19 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
     st = (active, j, spset, spcount, anchors, a_cnt, skip_flag)
     st = jax.lax.while_loop(cond, body, st)
     _, _, _, _, anchors, a_cnt, skip_flag = st
-    return anchors, a_cnt, skip_flag
+    packed, a_base, p_ovf = pack_anchors(anchors, a_cnt, pack_cap)
+    return packed, a_base, a_cnt, skip_flag, p_ovf
 
 
-@functools.partial(jax.jit, static_argnames=("l_ek", "a_cap", "m_cap"))
+@functools.partial(jax.jit,
+                   static_argnames=("l_ek", "a_cap", "m_cap", "pack_cap"))
 def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
                 pre13_fr, q_mem, q_lv, ridx, base, read_len, direction, sid,
                 seed_off, seed_len, lane_on, *, l_ek: int, a_cap: int,
-                m_cap: int):
+                m_cap: int, pack_cap: int):
     """Slow-mode ladder: collect all MEMs (stride 2), sort by match_len
-    desc, map the first 8. Returns (anchors, a_cnt, mem_overflow)."""
+    desc, map the first 8. Returns
+    (packed_anchors, a_base, a_cnt, mem_overflow, pack_overflow)."""
     N = ridx.shape[0]
     lanes = jnp.arange(N, dtype=I32)
     min_match_len = min(MIN_MEM_LEN_SLOW - 1, l_ek + 1)
@@ -182,4 +206,5 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
 
     anchors, a_cnt = jax.lax.fori_loop(0, MEM_SEARCH_SLOW, map_body,
                                        (anchors, a_cnt))
-    return anchors, a_cnt, overflow
+    packed, a_base, p_ovf = pack_anchors(anchors, a_cnt, pack_cap)
+    return packed, a_base, a_cnt, overflow, p_ovf
