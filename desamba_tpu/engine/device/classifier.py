@@ -9,6 +9,8 @@ device buffers overflow fall back to the gold engine wholesale.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -56,6 +58,16 @@ def _enable_compile_cache():
         pass
 
 
+@functools.partial(
+    jax.jit, static_argnames=("l_ek", "single_base_max", "mask_bits"))
+def _bloom_packed(strands, lens, ek0, ek1, l_ek, single_base_max, mask_bits):
+    hit = bloom_hit_kernel.__wrapped__(strands, lens, ek0, ek1, l_ek,
+                                       single_base_max, mask_bits)
+    pad = (-hit.shape[1]) % 8
+    hitp = jnp.pad(hit, ((0, 0), (0, pad)))
+    return jnp.packbits(hitp, axis=1)
+
+
 def _anchor_from_row(row, useless):
     return Anchor(
         mtch_len=int(row[0]), score=int(row[1]), left_len=int(row[2]),
@@ -77,29 +89,46 @@ class DeviceClassifier:
         self.state = StreamState()
         self.batch_size = batch_size
 
-    # ---- host island stage -------------------------------------------------
+    # ---- island stage ------------------------------------------------------
     def _islands(self, seqs):
-        """Gold get_islands per read, with the existence probe batched on
-        device. Returns list of (dirs, both)."""
+        """Gold get_islands per read with the existence probe batched on
+        device (one bloom_hit_kernel dispatch for all strands). Returns
+        list of (dirs, both)."""
         idx = self.idx
         l_ek = idx.len_e_kmer
-        out = []
         bufs = []
         for seq in seqs:
             bin_f = CLY_BIT[np.frombuffer(seq.encode(), np.uint8)]
             bufs.append(np.concatenate([bin_f, (3 - bin_f)[::-1]]))
-        for seq, buf in zip(seqs, bufs):
+        if not bufs:
+            return []
+        B = len(bufs)
+        Lmax = max(len(b) // 2 for b in bufs)
+        Lpad = ((Lmax + 1023) // 1024) * 1024
+        Bpad = _bucket(2 * B, 64)
+        strands = np.zeros((Bpad, Lpad), np.uint8)
+        lens = np.zeros((Bpad,), np.int32)
+        for i, b in enumerate(bufs):
+            rl = len(b) // 2
+            strands[2 * i, :rl] = b[:rl]
+            strands[2 * i + 1, :rl] = b[rl:]
+            lens[2 * i] = lens[2 * i + 1] = rl
+        # bit-pack on device: the tunnel downloads ~10 MB/s
+        packed = np.asarray(_bloom_packed(
+            jnp.asarray(strands), jnp.asarray(lens), self.dix.ekmer0,
+            self.dix.ekmer1, l_ek, idx.single_base_max, self.dix.mask_bits))
+        hits = np.unpackbits(packed, axis=1).astype(bool)
+
+        out = []
+        for i, (seq, buf) in enumerate(zip(seqs, bufs)):
             read_len = len(seq)
             n_kmers = read_len - l_ek + 1
             dirs = []
-            for base, direction in ((0, FORWARD), (read_len, REVERSE)):
+            for si, (base, direction) in enumerate(
+                    ((0, FORWARD), (read_len, REVERSE))):
                 bin_read = buf[base : base + read_len]
-                kmers = store_kmers_mask(bin_read, n_kmers, l_ek,
-                                         idx.single_base_max)
-                hit = exist_mask(kmers, idx.ekmer0, idx.ekmer1,
-                                 idx.e_hash_mask)
-                # run-based walk == gold search_islands (tested parity),
-                # ~20x fewer python iterations
+                hit = hits[2 * i + si, :n_kmers]
+                # run-based walk == gold search_islands (tested parity)
                 seeds = segment_islands(hit, n_kmers, direction)
                 total = mark_top(seeds, n_kmers, direction)
                 dirs.append(SearchDir(seeds, bin_read, hit, direction, total,
