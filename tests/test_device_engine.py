@@ -288,3 +288,147 @@ def test_mem_probe_parity(device_setup):
             assert gold_rows == dev_rows, f"spset lane {i}"
             j_state[i] -= 2 if not m_r else 3
     assert nprobes > 30
+
+
+def test_rescore_kernel_parity(device_setup):
+    """Device rescore == gold get_score_m2 on noisy reads (chains built by
+    the gold pipeline; kernel rescored on device; exact field compare)."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from desamba_tpu.engine.device import rescore as dr
+    from desamba_tpu.engine.gold.chain import resolve_tree
+    from desamba_tpu.engine.gold.classify import ClassifyEngine
+    from desamba_tpu.engine.gold.fastslow import fast_classify, slow_classify
+    from desamba_tpu.engine.gold.islands import get_islands
+    from desamba_tpu.engine.gold.rescore import (
+        get_score_m2,
+        sc_hash_idx,
+        truncate_chains,
+    )
+    from desamba_tpu.engine.device.arrays import DeviceIndex
+    from desamba_tpu.index.kmers import rolling_kmers
+
+    idx, dix, _ = device_setup
+    eng = ClassifyEngine(idx)
+    rng = np.random.default_rng(33)
+    reads = _random_reads(idx, 14, rng)
+    work = []
+    for r in reads:
+        seq = "".join("ACGT"[c] for c in r)
+        dirs, both = get_islands(seq, idx)
+        anchors, chains = [], []
+        rl = len(seq)
+        fast_classify(idx, eng.fm, eng.loc, eng.q_mem, eng.q_lv, dirs[0],
+                      rl, anchors)
+        if both:
+            fast_classify(idx, eng.fm, eng.loc, eng.q_mem, eng.q_lv,
+                          dirs[1], rl, anchors)
+        resolve_tree(anchors, chains)
+        if not chains or chains[0].anchor_number < 5:
+            anchors = []
+            slow_classify(idx, eng.fm, eng.loc, eng.q_mem, eng.q_lv,
+                          dirs[0], rl, anchors)
+            resolve_tree(anchors, chains)
+            slow_classify(idx, eng.fm, eng.loc, eng.q_mem, eng.q_lv,
+                          dirs[1], rl, anchors)
+            resolve_tree(anchors, chains)
+        if not chains or len(chains) > dr.C_CAP:
+            continue
+        truncate_chains(chains)
+        work.append((seq, dirs, chains))
+    assert work, "no chained reads"
+
+    exp = []
+    for seq, dirs, chains in work:
+        cc = copy.deepcopy(chains)
+        get_score_m2(idx, cc, dirs, len(seq), sc_hash_idx(cc), {})
+        exp.append([(c.sum_score, c.q_st, c.q_ed, c.t_st, c.t_ed,
+                     c.anchor_number, c.indel) for c in cc])
+
+    B = len(work)
+    chains_a = np.zeros((B, dr.C_CAP, dr.CF_N), np.int32)
+    n_chains = np.zeros((B,), np.int32)
+    anchors_a = np.zeros((B, dr.A_CAP, dr.AF_N), np.int32)
+    schash = np.zeros((B, 2 * dr.C_CAP, 3), np.int32)
+    n_hash = np.zeros((B,), np.int32)
+    Lm = max(len(s) for s, _, _ in work)
+    K = ((Lm + 255) // 256) * 256
+    rk_vals = np.full((B, 2, K), np.iinfo(np.int32).max, np.int32)
+    rk_pos = np.zeros((B, 2, K), np.int32)
+    rk_n = np.zeros((B, 2), np.int32)
+    L2 = ((2 * Lm + 1023) // 1024) * 1024
+    codes2 = np.zeros((B, L2), np.uint8)
+    blen2 = np.zeros((B,), np.int32)
+    rlen2 = np.zeros((B,), np.int32)
+    for b, (seq, dirs, chains) in enumerate(work):
+        rl = len(seq)
+        n_chains[b] = len(chains)
+        amap = {}
+        for c in chains:
+            a = c.chain_anchor_cur
+            while a is not None and id(a) not in amap:
+                amap[id(a)] = (len(amap), a)
+                a = a.chain_anchor_pre
+        for ai, a in amap.values():
+            pre = (amap[id(a.chain_anchor_pre)][0]
+                   if a.chain_anchor_pre is not None else -1)
+            anchors_a[b, ai] = (a.index_in_read, a.ref_offset, a.mtch_len,
+                                pre)
+        for ci, c in enumerate(chains):
+            cur = (amap[id(c.chain_anchor_cur)][0]
+                   if c.chain_anchor_cur is not None else -1)
+            chains_a[b, ci] = (c.ref_id, c.direction, c.sum_score,
+                               c.anchor_number, c.t_st, c.t_ed, c.q_st,
+                               c.q_ed, c.indel, cur)
+        e = 0
+        for ci, c in enumerate(chains):
+            for s_or_e in (1, 0):
+                key = ((c.t_st - c.q_st) if s_or_e == 1
+                       else (c.t_ed - c.q_ed)) & 0xFF
+                schash[b, e] = (key, ci, s_or_e)
+                e += 1
+        n_hash[b] = e
+        buf = dirs[0].buf
+        codes2[b, : 2 * rl] = buf
+        blen2[b] = 2 * rl
+        rlen2[b] = rl
+        for d, sl in ((1, buf[:rl]), (0, buf[rl:])):
+            vals = rolling_kmers(sl.astype(np.uint8), 9)
+            order = np.argsort(vals, kind="stable")
+            n = len(vals)
+            rk_vals[b, d, :n] = vals[order].astype(np.int32)
+            rk_pos[b, d, :n] = order.astype(np.int32)
+            rk_n[b, d] = n
+
+    inp = dr.RescoreIn(
+        chains=jnp.asarray(chains_a), n_chains=jnp.asarray(n_chains),
+        anchors=jnp.asarray(anchors_a), schash=jnp.asarray(schash),
+        n_hash=jnp.asarray(n_hash), rk_vals=jnp.asarray(rk_vals),
+        rk_pos=jnp.asarray(rk_pos), rk_n=jnp.asarray(rk_n),
+        codes_fr=jnp.asarray(codes2), buf_len=jnp.asarray(blen2),
+        read_len=jnp.asarray(rlen2))
+    chains_out, fb, _reason, _it = jax.block_until_ready(dr.rescore_kernel(
+        inp, dix.ref_bin, dix.ref_off, dix.ref_len_arr, n_bases=dix.n_bases))
+    chains_out = np.asarray(chains_out)
+    fb = np.asarray(fb)
+
+    def coord(v):
+        v = int(v)
+        if v >= dr.T_BIAS:
+            return v - dr.T_BIAS + (1 << 32)
+        return v & 0xFFFFFFFF if v < 0 else v
+
+    for b, (seq, dirs, chains) in enumerate(work):
+        assert not fb[b], f"read {b} fell back"
+        got = [(int(chains_out[b, ci, dr.C_SUM]),
+                coord(chains_out[b, ci, dr.C_QST]),
+                coord(chains_out[b, ci, dr.C_QED]),
+                coord(chains_out[b, ci, dr.C_TST]),
+                coord(chains_out[b, ci, dr.C_TED]),
+                int(chains_out[b, ci, dr.C_ANUM]),
+                int(chains_out[b, ci, dr.C_INDEL]))
+               for ci in range(len(chains))]
+        assert got == exp[b], f"read {b}"
