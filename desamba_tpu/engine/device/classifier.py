@@ -405,17 +405,13 @@ class DeviceClassifier:
                 work.append((k, i))
         if not work:
             return {}
-        B = _bucket(len(work), 64)
+        B = ((len(work) + 255) // 256) * 256  # finer than pow2: the
+        # rescore kernel's gathers scale with B, so padding waste matters
         chains_a = np.zeros((B, dr.C_CAP, dr.CF_N), np.int32)
         n_chains = np.zeros((B,), np.int32)
         anchors_a = np.zeros((B, dr.A_CAP, dr.AF_N), np.int32)
         schash = np.zeros((B, 2 * dr.C_CAP, 3), np.int32)
         n_hash = np.zeros((B,), np.int32)
-        Lmax_r = max(read_lens[i] for _, i in work)
-        K = ((Lmax_r + 255) // 256) * 256
-        rk_vals = np.full((B, 2, K), np.iinfo(np.int32).max, np.int32)
-        rk_pos = np.zeros((B, 2, K), np.int32)
-        rk_n = np.zeros((B, 2), np.int32)
         codes2 = np.zeros((B, codes_np.shape[1]), np.uint8)
         blen2 = np.zeros((B,), np.int32)
         rlen2 = np.zeros((B,), np.int32)
@@ -459,18 +455,8 @@ class DeviceClassifier:
                     schash[b, e] = (key, ci, s_or_e)
                     e += 1
             n_hash[b] = e
-            # read 9-mer tables per direction value (0=REV, 1=FWD)
             row = rows[i]
             rl = read_lens[i]
-            buf = codes_np[row, : 2 * rl]
-            for d, sl in ((1, buf[:rl]), (0, buf[rl:])):
-                if rl >= 9:
-                    vals = rolling_kmers(sl.astype(np.uint8), 9)
-                    order = np.argsort(vals, kind="stable")
-                    n = len(vals)
-                    rk_vals[b, d, :n] = vals[order].astype(np.int32)
-                    rk_pos[b, d, :n] = order.astype(np.int32)
-                    rk_n[b, d] = n
             codes2[b] = codes_np[row]
             blen2[b] = blen_np[row]
             rlen2[b] = rl
@@ -479,8 +465,7 @@ class DeviceClassifier:
         inp = dr.RescoreIn(
             chains=jnp.asarray(chains_a), n_chains=jnp.asarray(n_chains),
             anchors=jnp.asarray(anchors_a), schash=jnp.asarray(schash),
-            n_hash=jnp.asarray(n_hash), rk_vals=jnp.asarray(rk_vals),
-            rk_pos=jnp.asarray(rk_pos), rk_n=jnp.asarray(rk_n),
+            n_hash=jnp.asarray(n_hash),
             codes_fr=jnp.asarray(codes2), buf_len=jnp.asarray(blen2),
             read_len=jnp.asarray(rlen2))
         dix = self.dix

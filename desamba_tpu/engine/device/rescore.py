@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...constants import MIN_SCORE_MEM, OVER_SEARCH_M2, S_A_KMER_L
 
@@ -73,9 +74,6 @@ class RescoreIn(NamedTuple):
     anchors: jnp.ndarray    # (B, A_CAP, AF_N) int32
     schash: jnp.ndarray     # (B, 2*C_CAP, 3) int32 [key, ci, s_or_e]
     n_hash: jnp.ndarray     # (B,)
-    rk_vals: jnp.ndarray    # (B, 2, K) sorted 9-mer values, axis1=direction
-    rk_pos: jnp.ndarray     # (B, 2, K) int32 read positions
-    rk_n: jnp.ndarray       # (B, 2) valid kmer count per direction
     codes_fr: jnp.ndarray   # (B, 2L) uint8
     buf_len: jnp.ndarray    # (B,)
     read_len: jnp.ndarray   # (B,)
@@ -91,19 +89,22 @@ def _ref_chars(ref_bin, n_bases, offset, width):
     return (byte >> shift) & jnp.uint8(3)
 
 
-def _searchsorted_rows(vals, n_valid, queries, side_left: bool):
-    """Per-row binary search: vals (N, K) sorted, queries (N, P).
+def _searchsorted_rows(vals, dslot, n_valid, queries, side_left: bool):
+    """Per-row binary search: vals (N, 2, K) sorted along axis 2, row
+    selected by dslot (N,); queries (N, P). The direction select stays
+    inside the gather so no (N, K) row is ever materialized.
 
     Returns (N, P) insertion points within [0, n_valid]."""
-    N, K = vals.shape
+    N, _, K = vals.shape
     lo = jnp.zeros(queries.shape, I32)
     hi = jnp.broadcast_to(n_valid[:, None], queries.shape).astype(I32)
     steps = int(K).bit_length() + 1
     rows = jnp.arange(N, dtype=I32)[:, None]
+    dcol = dslot[:, None]
     for _ in range(steps):
         cont = lo < hi
         mid = (lo + hi) >> 1
-        mv = vals[rows, jnp.clip(mid, 0, K - 1)]
+        mv = vals[rows, dcol, jnp.clip(mid, 0, K - 1)]
         go_right = (mv < queries) if side_left else (mv <= queries)
         lo = jnp.where(cont & go_right, mid + 1, lo)
         hi = jnp.where(cont & ~go_right, mid, hi)
@@ -150,6 +151,41 @@ def _run_len2(codes_fr, buf_len, rows, qstart, qstep, win, win_len, wstart,
 
     n, _ = jax.lax.while_loop(lambda s: s[1].any(), body, (n, run))
     return jnp.minimum(n, jnp.maximum(cap, 0))
+
+
+def _build_rk_tables(codes_fr, read_len):
+    """Per-(read, direction) sorted 9-mer tables, built on device.
+
+    Returns (vals, pos), each (B, 2, K) with axis1 indexed by direction
+    value (0=REVERSE strand at [rl:2rl], 1=FORWARD at [0:rl]); K =
+    codes_fr.shape[1] // 2. Invalid tail positions sort to the end
+    (value INT32_MAX). Ties break by ascending position (stable sort) —
+    the gold ReadKmerIndex contract."""
+    B, L2 = codes_fr.shape
+    K = L2 // 2
+    c32 = codes_fr.astype(jnp.uint32)
+    n_k_full = L2 - K9 + 1
+    vals_full = jnp.zeros((B, n_k_full), jnp.uint32)
+    for j in range(K9):
+        vals_full = vals_full | (c32[:, j : j + n_k_full]
+                                 << jnp.uint32(2 * (K9 - 1 - j)))
+    rl = read_len
+    n_k9 = jnp.maximum(rl - K9 + 1, 0)
+    ar = jnp.arange(K, dtype=I32)[None, :]
+    fwd_vals = vals_full[:, :K].astype(I32)
+    rev_idx = jnp.clip(rl[:, None] + ar, 0, n_k_full - 1)
+    rev_vals = jnp.take_along_axis(vals_full, rev_idx, axis=1).astype(I32)
+    big = jnp.int32(np.iinfo(np.int32).max)
+    valid = ar < n_k9[:, None]
+    fwd_vals = jnp.where(valid, fwd_vals, big)
+    rev_vals = jnp.where(valid, rev_vals, big)
+    f_ord = jnp.argsort(fwd_vals, axis=1, stable=True).astype(I32)
+    r_ord = jnp.argsort(rev_vals, axis=1, stable=True).astype(I32)
+    f_sorted = jnp.take_along_axis(fwd_vals, f_ord, axis=1)
+    r_sorted = jnp.take_along_axis(rev_vals, r_ord, axis=1)
+    vals = jnp.stack([r_sorted, f_sorted], axis=1)   # axis1: 0=REV, 1=FWD
+    pos = jnp.stack([r_ord, f_ord], axis=1)
+    return vals, pos
 
 
 class VMState(NamedTuple):
@@ -429,8 +465,8 @@ def _proc_micro(st: VMState, inp: RescoreIn):
     return st
 
 
-def _fetch_step(st: VMState, inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
-                n_bases: int):
+def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, ref_bin, ref_off,
+                ref_len_arr, n_bases: int):
     """Heavy step: for lanes with need_fetch, run the per-mode window
     logic (pre-checks, ref gather, 9-mer probe + match building, sms
     append, post-checks)."""
@@ -532,16 +568,17 @@ def _fetch_step(st: VMState, inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
         cc = win[lanes[:, None], wi].astype(I32)
         pv = (pv << 2) | cc
     dslot = jnp.clip(chain_dir, 0, 1)
-    rkv = inp.rk_vals[lanes, dslot]
-    rkp = inp.rk_pos[lanes, dslot]
-    rkn = inp.rk_n[lanes, dslot]
-    lo = _searchsorted_rows(rkv, rkn, pv, True)
+    rkv, rkp = rk_tables
+    K_rk = rkv.shape[2]
+    rkn = jnp.where(inp.read_len >= K9, inp.read_len - K9 + 1, 0)
+    lo = _searchsorted_rows(rkv, dslot, rkn, pv, True)
     # hi via forward scan: multiplicities are tiny (<= H_CAP), so H_CAP+1
     # gathers beat a second 14-step binary search
     run_eq = jnp.ones(lo.shape, bool)
     cnt = jnp.zeros(lo.shape, I32)
     for k in range(H_CAP + 1):
-        v = rkv[lanes[:, None], jnp.clip(lo + k, 0, rkv.shape[1] - 1)]
+        v = rkv[lanes[:, None], dslot[:, None],
+                jnp.clip(lo + k, 0, K_rk - 1)]
         run_eq = run_eq & (lo + k < rkn[:, None]) & (v == pv)
         cnt = cnt + run_eq.astype(I32)
     hi = lo + cnt
@@ -555,8 +592,8 @@ def _fetch_step(st: VMState, inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
     # small. top_k with key = BIG - slot preserves gold's emission order.
     hidx = jnp.arange(H_CAP, dtype=I32)[None, None, :]
     cand_ok = p_on[:, :, None] & (lo[:, :, None] + hidx < hi[:, :, None])
-    qpos = rkp[lanes[:, None, None],
-               jnp.clip(lo[:, :, None] + hidx, 0, rkp.shape[1] - 1)]
+    qpos = rkp[lanes[:, None, None], dslot[:, None, None],
+               jnp.clip(lo[:, :, None] + hidx, 0, K_rk - 1)]
     qpos_u = qpos.astype(U32)
     cand_ok = cand_ok & (qpos_u >= q_bg[:, None, None].astype(U32)) \
         & (qpos_u <= q_ed[:, None, None].astype(U32))
@@ -705,11 +742,14 @@ def rescore_kernel(inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
         it, st = c_st
         return (it < MAX_ITERS) & ((st.mode != M_DONE) & ~st.fallback).any()
 
+    rk_tables = _build_rk_tables(inp.codes_fr, inp.read_len)
+
     def body(c_st):
         it, st = c_st
         st = jax.lax.fori_loop(0, PROC_PER_ITER,
                                lambda _k, s: _proc_micro(s, inp), st)
-        st = _fetch_step(st, inp, ref_bin, ref_off, ref_len_arr, n_bases)
+        st = _fetch_step(st, inp, rk_tables, ref_bin, ref_off, ref_len_arr,
+                         n_bases)
         return it + 1, st
 
     it, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))

@@ -355,10 +355,6 @@ def test_rescore_kernel_parity(device_setup):
     schash = np.zeros((B, 2 * dr.C_CAP, 3), np.int32)
     n_hash = np.zeros((B,), np.int32)
     Lm = max(len(s) for s, _, _ in work)
-    K = ((Lm + 255) // 256) * 256
-    rk_vals = np.full((B, 2, K), np.iinfo(np.int32).max, np.int32)
-    rk_pos = np.zeros((B, 2, K), np.int32)
-    rk_n = np.zeros((B, 2), np.int32)
     L2 = ((2 * Lm + 1023) // 1024) * 1024
     codes2 = np.zeros((B, L2), np.uint8)
     blen2 = np.zeros((B,), np.int32)
@@ -395,19 +391,11 @@ def test_rescore_kernel_parity(device_setup):
         codes2[b, : 2 * rl] = buf
         blen2[b] = 2 * rl
         rlen2[b] = rl
-        for d, sl in ((1, buf[:rl]), (0, buf[rl:])):
-            vals = rolling_kmers(sl.astype(np.uint8), 9)
-            order = np.argsort(vals, kind="stable")
-            n = len(vals)
-            rk_vals[b, d, :n] = vals[order].astype(np.int32)
-            rk_pos[b, d, :n] = order.astype(np.int32)
-            rk_n[b, d] = n
 
     inp = dr.RescoreIn(
         chains=jnp.asarray(chains_a), n_chains=jnp.asarray(n_chains),
         anchors=jnp.asarray(anchors_a), schash=jnp.asarray(schash),
-        n_hash=jnp.asarray(n_hash), rk_vals=jnp.asarray(rk_vals),
-        rk_pos=jnp.asarray(rk_pos), rk_n=jnp.asarray(rk_n),
+        n_hash=jnp.asarray(n_hash),
         codes_fr=jnp.asarray(codes2), buf_len=jnp.asarray(blen2),
         read_len=jnp.asarray(rlen2))
     chains_out, fb, _reason, _it = jax.block_until_ready(dr.rescore_kernel(
