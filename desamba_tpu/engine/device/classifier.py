@@ -428,8 +428,9 @@ class DeviceClassifier:
 
     def _device_rescore(self, todo, island_info, chains_by_read,
                         fallback_reads, rows, codes_np, blen_np, read_lens):
-        """Run rescore_kernel over reads with chains; returns
-        {read_i: device chain rows} (missing key = fell back)."""
+        """Run rescore_kernel over reads with chains (partitioned by
+        estimated walk length so short reads don't pay long reads' VM
+        iterations); returns {read_i: device chain rows}."""
         work = []
         for k, i in enumerate(todo):
             if i in fallback_reads:
@@ -443,6 +444,23 @@ class DeviceClassifier:
                 work.append((k, i))
         if not work:
             return {}
+        # estimated VM fetch steps: per chain, one per anchor gap + ~6
+        # extension windows
+        est = {i: sum(c.anchor_number + 6 for c in chains_by_read[i])
+               for _, i in work}
+        work.sort(key=lambda t: est[t[1]])
+        n = len(work)
+        out = {}
+        for lo_q, hi_q in ((0.0, 0.5), (0.5, 0.85), (0.85, 1.0)):
+            part = work[int(n * lo_q) : int(n * hi_q)]
+            if part:
+                out.update(self._device_rescore_part(
+                    part, chains_by_read, fallback_reads, rows, codes_np,
+                    blen_np, read_lens))
+        return out
+
+    def _device_rescore_part(self, work, chains_by_read, fallback_reads,
+                             rows, codes_np, blen_np, read_lens):
         B = ((len(work) + 255) // 256) * 256  # finer than pow2: the
         # rescore kernel's gathers scale with B, so padding waste matters
         chains_a = np.zeros((B, dr.C_CAP, dr.CF_N), np.int32)
