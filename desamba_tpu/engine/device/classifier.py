@@ -444,20 +444,13 @@ class DeviceClassifier:
                 work.append((k, i))
         if not work:
             return {}
-        # estimated VM fetch steps: per chain, one per anchor gap + ~6
-        # extension windows
-        est = {i: sum(c.anchor_number + 6 for c in chains_by_read[i])
-               for _, i in work}
-        work.sort(key=lambda t: est[t[1]])
-        n = len(work)
-        out = {}
-        for lo_q, hi_q in ((0.0, 0.5), (0.5, 0.85), (0.85, 1.0)):
-            part = work[int(n * lo_q) : int(n * hi_q)]
-            if part:
-                out.update(self._device_rescore_part(
-                    part, chains_by_read, fallback_reads, rows, codes_np,
-                    blen_np, read_lens))
-        return out
+        # NOTE: partitioning by estimated walk length was measured SLOWER
+        # here (111 -> 99 reads/s): the rescore VM's fetch steps already
+        # amortize across mixed lanes, and extra dispatches + padding
+        # dominate. One batch it is.
+        return self._device_rescore_part(work, chains_by_read,
+                                         fallback_reads, rows, codes_np,
+                                         blen_np, read_lens)
 
     def _device_rescore_part(self, work, chains_by_read, fallback_reads,
                              rows, codes_np, blen_np, read_lens):
