@@ -420,3 +420,23 @@ def test_rescore_kernel_parity(device_setup):
                 int(chains_out[b, ci, dr.C_INDEL]))
                for ci in range(len(chains))]
         assert got == exp[b], f"read {b}"
+
+
+@pytest.mark.slow
+def test_device_classifier_full_demo(demo_my_index, demo_files):
+    """Full demo corpus through the device engine == frozen golden SAM."""
+    from pathlib import Path
+
+    from desamba_tpu.engine.device.classifier import DeviceClassifier
+    from desamba_tpu.engine.gold.classify import Options
+    from desamba_tpu.io.fastx import read_fastx
+    from desamba_tpu.io.sam import format_result
+
+    idx = demo_my_index
+    opts = Options()
+    eng = DeviceClassifier(idx, opts)
+    reads = list(read_fastx(str(demo_files[1])))
+    out = "".join(format_result(r, idx.ref_name, opts)
+                  for r in eng.classify_reads(reads))
+    golden = (Path(__file__).parent / "golden" / "demo_viral.sam").read_text()
+    assert out == golden
