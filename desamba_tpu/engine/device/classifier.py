@@ -16,24 +16,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ...constants import FORWARD, MIN_READ_LEN, REVERSE, SEED_RANGE
+from ...constants import FORWARD, MIN_READ_LEN, REVERSE
 from ...index.kmers import CLY_BIT
 from ..gold.classify import ClassifyEngine, Options, ReadResult, StreamState
-from ..gold.islands import SearchDir, exist_mask, mark_top, search_islands, store_kmers_mask
+from ..gold.islands import SearchDir, mark_top
 from ..gold.mapseed import Anchor
 from ..gold.chain import resolve_tree
-from ..gold.rescore import (
-    delete_small_score_rst,
-    detect_primary,
-    post_rescore_finish,
-    sc_hash_idx,
-    truncate_chains,
-)
-from ...index.kmers import rolling_kmers
+from ..gold.rescore import detect_primary, post_rescore_finish, truncate_chains
 from .arrays import DeviceIndex
 from .islands import bloom_hit_kernel, segment_islands
 from .ladder import fast_ladder, slow_ladder
-from .mapseed import A_NF
 from .pipeline import pre13_values
 from . import rescore as dr
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...constants import FORWARD, REVERSE, SEED_RANGE, STEP_EK
+from ...constants import FORWARD, STEP_EK
 from . import u64ops as u
 
 

@@ -21,7 +21,6 @@ from ...constants import (
     MIN_MEM_LEN_FAST,
     MIN_MEM_LEN_SLOW,
     PRE_IDX_MASK,
-    SP_SET_CAP,
 )
 from . import fm as dev_fm
 from .mapseed import A_NF, IndexRefs, map_seed_lanes

@@ -20,7 +20,6 @@ from ...constants import (
     MEM_SEARCH_FAST,
     MIN_MEM_LEN_FAST,
     PRE_IDX_MASK,
-    SP_SET_CAP,
     STEP_EK,
 )
 from . import fm as dev_fm

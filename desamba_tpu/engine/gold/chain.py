@@ -9,7 +9,7 @@ stable.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ...constants import (
     M3_ANCHOR_THRESHOLD,

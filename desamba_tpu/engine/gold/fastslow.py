@@ -12,7 +12,6 @@ from .fm import FM, SpSet, bwt_mem_search
 from .islands import SearchDir, store_kmers_mask
 from .mapseed import Locator, map_seed
 
-import numpy as np
 
 
 def _read_kmers(sd: SearchDir, idx, read_len: int):

@@ -17,7 +17,7 @@ from ...constants import (
     MIN_UNI_L,
     SA_MASK,
 )
-from .fm import FM, MAX_U64, MemRst, SpSet
+from .fm import FM, MAX_U64, MemRst
 
 LV_BASE = LV_ERROR
 SENT_REF = 254   # stands in for the '#' ref sentinel (src/cly.c:534)

@@ -24,7 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..constants import L_PRE_IDX, MEM_SEARCH_FAST, MIN_MEM_LEN_FAST, PRE_IDX_MASK, SP_SET_CAP, STEP_EK
+from ..constants import (
+    L_PRE_IDX,
+    MEM_SEARCH_FAST,
+    MIN_MEM_LEN_FAST,
+    PRE_IDX_MASK,
+    STEP_EK,
+)
 from ..engine.device import fm as dev_fm
 from ..engine.device.islands import ekmer_probe_indices
 
