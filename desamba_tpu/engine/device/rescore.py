@@ -719,7 +719,7 @@ def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, ref_bin, ref_off,
     return st
 
 
-PROC_PER_ITER = 8
+PROC_PER_ITER = 16
 MAX_ITERS = 4096  # safety: lanes still live at the cap fall back to host
 
 
