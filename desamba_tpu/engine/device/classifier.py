@@ -524,6 +524,38 @@ class DeviceClassifier:
         return out
 
     def classify_file(self, path):
+        """Ordered read -> classify -> emit pipeline (the analogue of the
+        reference's 3-stage kt_pipeline, src/lib/kthread.c:157-197): a
+        reader thread parses/encodes batch N+1 while batch N classifies;
+        results drain in input order."""
+        import queue
+        import threading
+
         from ...io.fastx import read_fastx
 
-        yield from self.classify_reads(list(read_fastx(path)))
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def reader():
+            batch = []
+            try:
+                for rec in read_fastx(path):
+                    batch.append(rec)
+                    if len(batch) >= self.batch_size:
+                        q.put(batch)
+                        batch = []
+                if batch:
+                    q.put(batch)
+                q.put(None)
+            except BaseException as e:  # surface parse errors in order
+                q.put(e)
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield from self._classify_batch(item)
+        t.join()

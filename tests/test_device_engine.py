@@ -440,3 +440,28 @@ def test_device_classifier_full_demo(demo_my_index, demo_files):
                   for r in eng.classify_reads(reads))
     golden = (Path(__file__).parent / "golden" / "demo_viral.sam").read_text()
     assert out == golden
+
+
+def test_classify_file_pipeline(device_setup, tmp_path):
+    """classify_file's overlapped reader pipeline == classify_reads."""
+    from desamba_tpu.engine.device.classifier import DeviceClassifier
+    from desamba_tpu.engine.gold.classify import Options
+    from desamba_tpu.io.fastx import read_fastx
+    from desamba_tpu.io.sam import format_result
+
+    idx, _dix, _ = device_setup
+    rng = np.random.default_rng(44)
+    reads = _random_reads(idx, 6, rng)
+    fq = tmp_path / "r.fastq"
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            seq = "".join("ACGT"[c] for c in r)
+            f.write(f"@p{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+    opts = Options()
+    eng = DeviceClassifier(idx, opts, batch_size=3)
+    got = [format_result(r, idx.ref_name, opts)
+           for r in eng.classify_file(str(fq))]
+    eng2 = DeviceClassifier(idx, opts, batch_size=3)
+    exp = [format_result(r, idx.ref_name, opts)
+           for r in eng2.classify_reads(list(read_fastx(str(fq))))]
+    assert got == exp
