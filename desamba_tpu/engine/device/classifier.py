@@ -336,11 +336,14 @@ class DeviceClassifier:
             dirs, both = island_info[k]
             anchors = []
             fb = [False]
-            self._collect_group(slow0_groups[i], slow0_out[0], slow0_out[1],
-                                slow0_out[2], None, anchors, fb)
-            if fb[0] or any(slow0_out[3][lid] for lid in slow0_groups[i]):
-                fallback_reads.add(i)
-                continue
+            if slow0_groups[i]:  # a read can have zero eligible islands
+                self._collect_group(slow0_groups[i], slow0_out[0],
+                                    slow0_out[1], slow0_out[2], None,
+                                    anchors, fb)
+                if fb[0] or any(slow0_out[3][lid]
+                                for lid in slow0_groups[i]):
+                    fallback_reads.add(i)
+                    continue
             chains = []
             resolve_tree(anchors, chains)
             chains_by_read[i] = chains
@@ -366,11 +369,14 @@ class DeviceClassifier:
                 continue
             anchors = anchors_by_read[i]
             fb = [False]
-            self._collect_group(slow1_groups[i], slow1_out[0], slow1_out[1],
-                                slow1_out[2], None, anchors, fb)
-            if fb[0] or any(slow1_out[3][lid] for lid in slow1_groups[i]):
-                fallback_reads.add(i)
-                continue
+            if slow1_groups[i]:
+                self._collect_group(slow1_groups[i], slow1_out[0],
+                                    slow1_out[1], slow1_out[2], None,
+                                    anchors, fb)
+                if fb[0] or any(slow1_out[3][lid]
+                                for lid in slow1_groups[i]):
+                    fallback_reads.add(i)
+                    continue
             chains = []
             resolve_tree(anchors, chains)
             chains_by_read[i] = chains
