@@ -164,26 +164,35 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     if not all_vals:
         raise ValueError("no k-mers in reference")
     vals_cat = np.concatenate(all_vals)
-    kmer_v = np.unique(vals_cat)
+    # return_inverse gives every occurrence's row in kmer_v for free — a
+    # searchsorted join here costs ~1.4 us/lookup (latency-bound binary
+    # search), 15+ s at RefSeq-viral scale
+    kmer_v, pos_in_kv = np.unique(vals_cat, return_inverse=True)
+    pos_in_kv = pos_in_kv.astype(np.int64)
     n_kmer = len(kmer_v)
     progress(f"{n_kmer} unique 31-mers")
 
     # ---- dBG edges (src/idx.c:125-306) --------------------------------------
-    in_edges = np.zeros(n_kmer, dtype=np.uint8)
-    out_edges = np.zeros(n_kmer, dtype=np.uint8)
-    pos_in_kv = np.searchsorted(kmer_v, vals_cat)
-    # per-run local structure: reconstruct boundaries
+    # Adjacent in-run k-mer pairs ARE the edge set: pair (i, i+1) within a
+    # run is an edge SRC->DST whose char is DST's last base (= SRC's next
+    # base), and whose in-char at DST is SRC's first base. All neighbor
+    # queries below use these observed pairs — no key reconstruction.
     run_sizes = np.array([len(v) for v in all_vals], dtype=np.int64)
     run_off = np.concatenate([[0], np.cumsum(run_sizes)])
-    for r in range(len(all_vals)):
-        lo, hi = run_off[r], run_off[r + 1]
-        locs = pos_in_kv[lo:hi]
-        if hi - lo > 1:
-            np.bitwise_or.at(in_edges, locs[1:], (np.uint8(1) << all_prev[r]))
-            np.bitwise_or.at(out_edges, locs[:-1], (np.uint8(1) << all_next[r]))
-    heads = np.searchsorted(kmer_v, np.array(head_keys, dtype=U64))
-    tails = np.searchsorted(kmer_v, np.array(tail_keys, dtype=U64))
-    del vals_cat, pos_in_kv, all_prev, all_next
+    adj = np.ones(len(vals_cat) - 1, dtype=bool) if len(vals_cat) > 1 else np.zeros(0, bool)
+    if len(run_off) > 2:
+        adj[run_off[1:-1] - 1] = False
+    pair_src = pos_in_kv[:-1][adj]
+    pair_dst = pos_in_kv[1:][adj]
+    pair_in_char = ((vals_cat[:-1][adj] >> U64((B_KMER - 1) * 2)) & U64(3)).astype(np.uint8)
+    pair_out_char = (vals_cat[1:][adj] & U64(3)).astype(np.uint8)
+    in_edges = np.zeros(n_kmer, dtype=np.uint8)
+    out_edges = np.zeros(n_kmer, dtype=np.uint8)
+    np.bitwise_or.at(in_edges, pair_dst, np.uint8(1) << pair_in_char)
+    np.bitwise_or.at(out_edges, pair_src, np.uint8(1) << pair_out_char)
+    heads = pos_in_kv[run_off[:-1]]
+    tails = pos_in_kv[run_off[1:] - 1]
+    del all_prev, all_next
     progress("dBG edges")
 
     # ---- setLabel (src/idx.c:392-513) ---------------------------------------
@@ -196,21 +205,13 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     is_start[heads] = True
     is_end[tails] = True
     # neighbors of multi/zero-edge nodes and of heads/tails get the
-    # complementary flag (cutOffMulEdges + handleFrstLastKmer)
-    mask_low = U64(~(np.uint64(0x3) << np.uint64((B_KMER - 1) * 2)))
+    # complementary flag (cutOffMulEdges + handleFrstLastKmer); every
+    # (node, edge-char) neighbor is observed as at least one in-run pair,
+    # so propagation over pairs covers exactly the edge set
     marked_start = is_start.copy()  # nodes whose in-neighbors must become ends
     marked_end = is_end.copy()      # nodes whose out-neighbors must become starts
-    for j in range(4):
-        # in-edge j of a marked-start node -> predecessor gets End
-        sel = marked_start & ((in_edges >> j) & 1).astype(bool)
-        if sel.any():
-            keys = (kmer_v[sel] >> U64(2)) | (U64(j) << U64((B_KMER - 1) * 2))
-            is_end[np.searchsorted(kmer_v, keys)] = True
-        # out-edge j of a marked-end node -> successor gets Start
-        sel = marked_end & ((out_edges >> j) & 1).astype(bool)
-        if sel.any():
-            keys = ((kmer_v[sel] & mask_low) << U64(2)) | U64(j)
-            is_start[np.searchsorted(kmer_v, keys)] = True
+    is_end[pair_src[marked_start[pair_dst]]] = True
+    is_start[pair_dst[marked_end[pair_src]]] = True
     n_uni = int(is_end.sum())
     assert int(is_start.sum()) == n_uni, "start/end count mismatch"
     progress(f"{n_uni} unitigs")
@@ -225,8 +226,11 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     out_char[nz] = low[nz]
     succ = np.arange(n_kmer, dtype=np.int64)
     walkable = ~is_end
-    succ_keys = ((kmer_v[walkable] & mask_low) << U64(2)) | out_char[walkable].astype(U64)
-    succ[walkable] = np.searchsorted(kmer_v, succ_keys)
+    # walkable nodes have exactly one out-edge; its destination appears as
+    # an observed pair whose edge char equals out_char[src]
+    sel = walkable[pair_src] & (pair_out_char == out_char[pair_src])
+    succ[pair_src[sel]] = pair_dst[sel]
+    del vals_cat, pos_in_kv, pair_src, pair_dst, pair_in_char, pair_out_char, adj
     # predecessor links for offset/char computation: invert succ
     pred = np.full(n_kmer, -1, dtype=np.int64)
     src = np.flatnonzero(walkable)
@@ -373,10 +377,10 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     n_keys = 1 << (2 * L_PRE_IDX)
     first = np.full(n_keys, -1, dtype=rdt)
     last = np.full(n_keys, -1, dtype=rdt)
-    # keys ascending -> use searchsorted on the key array
     uk, ui = np.unique(keys, return_index=True)
     first[uk] = krows[ui]
-    last_idx = np.searchsorted(keys, uk, side="right") - 1
+    # last occurrence of each key = element before the next key's first
+    last_idx = np.concatenate([ui[1:], [len(keys)]]) - 1
     last[uk] = krows[last_idx] + 1
     # compression: missing keys forward-fill the previous key's end
     # (src/idx.c:944-961); initial fill value 0
