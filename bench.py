@@ -1,7 +1,12 @@
 """End-to-end benchmark: demo classify throughput vs the measured reference.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N/BASELINE}
+Prints JSON lines {"metric": ..., "value": N, "unit": "reads/s",
+"vs_baseline": N/BASELINE}; the LAST line is the headline result.
+
+A number is always printed early: the host (gold) engine result lands
+first (flushed), then a device-engine upgrade is attempted in a child
+process with a hard timeout, so an outer driver timeout can never erase
+the run entirely (round-1 failure mode: rc=124, empty tail).
 
 Baseline: reference binary, 4 threads, demo viral index + ERR1050068.fastq
 on this machine = 10,060 reads/s (BASELINE.md).
@@ -10,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 import zipfile
@@ -20,6 +26,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_READS_PER_S = 10060.0
 CACHE = Path(os.environ.get("DESAMBA_TEST_CACHE", "/tmp/desamba_test_cache"))
 REFERENCE = Path("/root/reference")
+# Total self-imposed budget; the device attempt gets what is left of it.
+BUDGET_S = float(os.environ.get("DESAMBA_BENCH_BUDGET", "1500"))
+T_START = time.time()
+
+
+def _emit(engine_name, n, dt, parity):
+    val = n / dt
+    print(json.dumps({
+        "metric": f"demo_classify_{engine_name}",
+        "value": round(val, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(val / BASELINE_READS_PER_S, 4),
+        "n_reads": n,
+        "seconds": round(dt, 3),
+        "sam_parity": parity,
+    }), flush=True)
+    return val
 
 
 def _demo_files():
@@ -45,100 +68,89 @@ def _demo_index(fa):
     return idx
 
 
+def _check_parity(out_lines):
+    golden = Path(__file__).parent / "tests" / "golden" / "demo_viral.sam"
+    if golden.exists():
+        return "".join(out_lines) == golden.read_text()
+    return None
+
+
+def _run_gold(idx, reads, opts):
+    from desamba_tpu.engine.gold.classify import ClassifyEngine
+    from desamba_tpu.io.sam import format_result
+
+    eng = ClassifyEngine(idx, opts)
+    threads = int(os.environ.get("DESAMBA_BENCH_THREADS", "4"))
+    t0 = time.time()
+    out_lines = [format_result(r, idx.ref_name, opts)
+                 for r in eng.classify_records(reads, threads=threads)]
+    dt = time.time() - t0
+    return _emit("gold", len(reads), dt, _check_parity(out_lines))
+
+
+def _run_device(idx, reads, opts):
+    from desamba_tpu.engine.device.classifier import DeviceClassifier
+    from desamba_tpu.io.sam import format_result
+
+    eng = DeviceClassifier(idx, opts)
+    # warm-up pass compiles every production shape outside the timed
+    # region (programs are shape-bucketed + disk-cached)
+    warm = list(eng.classify_reads(reads))
+    del warm
+    eng.state.max_read_l = 0
+    t0 = time.time()
+    out_lines = [format_result(r, idx.ref_name, opts)
+                 for r in eng.classify_reads(reads)]
+    dt = time.time() - t0
+    return _emit("device", len(reads), dt, _check_parity(out_lines))
+
+
 def main():
-    # Watchdog: device dispatches over the tunnel can hang; run the real
-    # bench in a child and fall back to the gold engine on timeout.
-    if (os.environ.get("DESAMBA_BENCH_CHILD") != "1"
-            and os.environ.get("DESAMBA_BENCH_ENGINE", "auto") == "auto"):
-        import subprocess
-
-        env = dict(os.environ, DESAMBA_BENCH_CHILD="1")
-        try:
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, timeout=2400, capture_output=True,
-                               text=True)
-            line = [l for l in r.stdout.splitlines() if l.startswith("{")]
-            if r.returncode == 0 and line:
-                print(line[-1])
-                return
-            sys.stderr.write(r.stderr[-2000:])
-        except subprocess.TimeoutExpired:
-            print("bench child timed out; falling back to gold",
-                  file=sys.stderr)
-        os.environ["DESAMBA_BENCH_ENGINE"] = "gold"
-    _bench()
-
-
-def _bench():
     fa, fq = _demo_files()
     idx = _demo_index(fa)
 
     from desamba_tpu.engine.gold.classify import Options
     from desamba_tpu.io.fastx import read_fastx
-    from desamba_tpu.io.sam import format_result
 
     opts = Options()
     reads = list(read_fastx(str(fq)))
-    engine_name = os.environ.get("DESAMBA_BENCH_ENGINE", "auto")
-    eng = None
-    if engine_name in ("auto", "device"):
-        try:
-            from desamba_tpu.engine.device.classifier import DeviceClassifier
 
-            eng = DeviceClassifier(idx, opts)
-            engine_name = "device"
-        except ImportError:
-            if engine_name == "device":
-                raise
-    if eng is None:
-        from desamba_tpu.engine.gold.classify import ClassifyEngine
+    mode = os.environ.get("DESAMBA_BENCH_ENGINE", "auto")
+    if mode == "device-child":
+        _run_device(idx, reads, opts)
+        return
+    if mode in ("auto", "gold"):
+        gold_val = _run_gold(idx, reads, opts)
+    else:
+        gold_val = 0.0
+    if mode == "gold":
+        return
 
-        eng = ClassifyEngine(idx, opts)
-        engine_name = "gold"
-
-    out_lines = []
-    t0 = time.time()
-    if engine_name == "device":
-        try:
-            # full warm-up pass: compiles every production shape outside
-            # the timed region (programs are shape-bucketed + disk-cached)
-            warm = list(eng.classify_reads(reads))
-            del warm
-            eng.state.max_read_l = 0
-            t0 = time.time()
-            for res in eng.classify_reads(reads):
-                out_lines.append(format_result(res, idx.ref_name, opts))
-        except Exception as e:
-            print(f"device engine failed ({e!r}); falling back to gold",
-                  file=sys.stderr)
-            from desamba_tpu.engine.gold.classify import ClassifyEngine
-
-            eng = ClassifyEngine(idx, opts)
-            engine_name = "gold"
-    if engine_name != "device":
-        t0 = time.time()
-        for rec in reads:
-            res = eng.classify_read(rec.name, rec.seq, rec.qual)
-            out_lines.append(format_result(res, idx.ref_name, opts))
-    dt = time.time() - t0
-
-    # sanity: compare against the frozen golden SAM when present
-    golden = Path(__file__).parent / "tests" / "golden" / "demo_viral.sam"
-    parity = None
-    if golden.exists():
-        parity = "".join(out_lines) == golden.read_text()
-
-    n = len(reads)
-    val = n / dt
-    print(json.dumps({
-        "metric": f"demo_classify_{engine_name}",
-        "value": round(val, 2),
-        "unit": "reads/s",
-        "vs_baseline": round(val / BASELINE_READS_PER_S, 4),
-        "n_reads": n,
-        "seconds": round(dt, 3),
-        "sam_parity": parity,
-    }))
+    # Device upgrade attempt, hard-time-boxed in a child (tunnel
+    # dispatches can hang; a hung child must not erase the gold line).
+    remaining = BUDGET_S - (time.time() - T_START) - 30
+    if remaining < 60:
+        print(f"skipping device attempt ({remaining:.0f}s left)",
+              file=sys.stderr)
+        return
+    env = dict(os.environ, DESAMBA_BENCH_ENGINE="device-child")
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, timeout=remaining, capture_output=True,
+                           text=True)
+    except subprocess.TimeoutExpired:
+        print("device child timed out; gold result stands", file=sys.stderr)
+        return
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    if r.returncode == 0 and lines:
+        rec = json.loads(lines[-1])
+        if rec.get("value", 0) > gold_val:
+            print(lines[-1], flush=True)
+        else:
+            print(f"device slower than gold ({rec.get('value')} reads/s); "
+                  "gold result stands", file=sys.stderr)
+    else:
+        sys.stderr.write(r.stderr[-2000:])
 
 
 if __name__ == "__main__":

@@ -54,8 +54,17 @@ def cmd_classify(args):
         eng = ClassifyEngine(idx, opts)
         for path in args.reads:
             print(f"Processing file: [{path}].", file=sys.stderr)
+            # batch + parallel classify (kt_for analogue); batches bound
+            # memory like the reference's 5000-read pipeline batches
+            batch: list = []
             for rec in read_fastx(path):
-                res = eng.classify_read(rec.name, rec.seq, rec.qual)
+                batch.append(rec)
+                if len(batch) >= 5000:
+                    for res in eng.classify_records(batch, threads=args.t):
+                        out.write(format_result(res, idx.ref_name, opts))
+                        n += 1
+                    batch = []
+            for res in eng.classify_records(batch, threads=args.t):
                 out.write(format_result(res, idx.ref_name, opts))
                 n += 1
     dt = time.time() - t1

@@ -58,6 +58,32 @@ class ClassifyEngine:
         self.q_mem, self.q_lv = mapq_tables(len(idx.ref_bin) * 4)
         self.state = StreamState()
 
+    def classify_records(self, recs, threads: int = 1):
+        """Classify a list of records, optionally in parallel — the kt_for
+        analogue (src/lib/kthread.c:32-57), with one twist that makes every
+        read independent: the only cross-read state, max_read_l
+        (src/cly.c:2958), is derived purely from read lengths, so the value
+        each read would observe in a single-thread run is a prefix-max
+        computable up front. Output is therefore bit-identical to t=1
+        regardless of thread count (the reference's per-worker state can
+        drift with scheduling; t=1 semantics are its deterministic case).
+        """
+        premax = []
+        running = self.state.max_read_l
+        for r in recs:
+            premax.append(running)
+            if len(r.seq) >= MIN_READ_LEN:
+                running = max(running, len(r.seq))
+        out: list = [None] * len(recs)
+        if threads <= 1 or len(recs) < 32:
+            for i, r in enumerate(recs):
+                self.state.max_read_l = premax[i]
+                out[i] = self.classify_read(r.name, r.seq, r.qual)
+        else:
+            out = _classify_parallel(self, recs, premax, threads)
+        self.state.max_read_l = running
+        return out
+
     def classify_read(self, name: str, seq: str, qual: str | None = None) -> ReadResult:
         res = ReadResult(name, seq, qual, len(seq))
         if len(seq) < MIN_READ_LEN:
@@ -91,3 +117,47 @@ class ClassifyEngine:
                                self.opts)
         detect_primary(chains, res.read_len)
         return res
+
+
+# ---- process-parallel driver (fork; index shared copy-on-write) ------------
+_G_ENGINE: ClassifyEngine | None = None
+
+
+def _classify_chunk(args):
+    lo, chunk = args
+    eng = _G_ENGINE
+    res = []
+    for premax, name, seq, qual in chunk:
+        eng.state.max_read_l = premax
+        res.append(eng.classify_read(name, seq, qual))
+    return lo, res
+
+
+def _classify_parallel(eng, recs, premax, threads):
+    """Fork-based parallel map: Python holds the GIL through the per-read
+    hot loops, so processes (not threads) are the scaling unit; the index
+    arrays are shared copy-on-write through fork."""
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    global _G_ENGINE
+    # ~4 chunks per worker for dynamic load balance (read lengths vary,
+    # like kt_for's work stealing)
+    n = len(recs)
+    n_chunks = min(n, threads * 4)
+    bounds = [n * j // n_chunks for j in range(n_chunks + 1)]
+    jobs = []
+    for j in range(n_chunks):
+        lo, hi = bounds[j], bounds[j + 1]
+        jobs.append((lo, [(premax[i], recs[i].name, recs[i].seq, recs[i].qual)
+                          for i in range(lo, hi)]))
+    _G_ENGINE = eng
+    try:
+        ctx = mp.get_context("fork")
+        with ProcessPoolExecutor(max_workers=threads, mp_context=ctx) as ex:
+            out: list = [None] * n
+            for lo, res in ex.map(_classify_chunk, jobs):
+                out[lo : lo + len(res)] = res
+        return out
+    finally:
+        _G_ENGINE = None
