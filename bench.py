@@ -110,7 +110,7 @@ def main():
     idx = _demo_index(fa)
 
     from desamba_tpu.engine.gold.classify import Options
-    from desamba_tpu.io.fastx import read_fastx
+    from desamba_tpu.io.fastx import read_fastx_fast as read_fastx
 
     opts = Options()
     reads = list(read_fastx(str(fq)))

@@ -30,7 +30,7 @@ def cmd_index(args):
 def cmd_classify(args):
     from .engine.gold.classify import ClassifyEngine, Options
     from .index.store import load_index
-    from .io.fastx import read_fastx
+    from .io.fastx import read_fastx_fast as read_fastx
     from .io.sam import format_result
 
     t0 = time.time()
@@ -99,7 +99,7 @@ def cmd_kmersort(args):
     import numpy as np
 
     from .index.kmers import BIT, rolling_kmers
-    from .io.fastx import read_fastx
+    from .io.fastx import read_fastx_fast as read_fastx
 
     vals = []
     for rec in read_fastx(args.reference):

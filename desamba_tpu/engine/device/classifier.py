@@ -537,7 +537,7 @@ class DeviceClassifier:
         import queue
         import threading
 
-        from ...io.fastx import read_fastx
+        from ...io.fastx import read_fastx_fast as read_fastx
 
         q: "queue.Queue" = queue.Queue(maxsize=2)
 

@@ -6,7 +6,7 @@ step performs two checkpointed-rank gathers for every active (read, probe)
 lane. The per-island SP_SET row dedup (src/cly.c:1281-1298) lives on device
 as a (lanes, 500) buffer carried through the loops.
 
-Parity contract (tests/test_device_fm.py): for identical probe inputs and
+Parity contract (tests/test_device_engine.py): for identical probe inputs and
 SP_SET state, `mem_probe` returns exactly the MemRst set of the gold
 engine's bwt_mem_search (match lengths, final rows, SA samples, dedup
 aborts).

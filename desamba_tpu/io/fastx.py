@@ -64,6 +64,32 @@ def _read_fasta(f) -> Iterator[Record]:
         yield Record(name, comment, b"".join(seq).decode())
 
 
+def read_fastx_fast(path: str) -> Iterator[Record]:
+    """read_fastx via the native batch reader (csrc/fastx.c) when a C
+    compiler is available; identical Record stream otherwise."""
+    from . import native
+
+    if not native.available():
+        yield from read_fastx(path)
+        return
+    rdr = native.NativeFastxReader(path)
+    try:
+        for raw_names, seq_bytes, qual_bytes, lens, hasq in rdr:
+            off = 0
+            for i, raw in enumerate(raw_names):
+                ln = int(lens[i])
+                parts = raw.split(None, 1)
+                name = parts[0].decode() if parts else ""
+                comment = parts[1].decode() if len(parts) > 1 else ""
+                seq = seq_bytes[off : off + ln].decode()
+                qual = (qual_bytes[off : off + ln].decode() if hasq[i]
+                        else None)
+                off += ln
+                yield Record(name, comment, seq, qual)
+    finally:
+        rdr.close()
+
+
 def _read_fastq(f) -> Iterator[Record]:
     while True:
         h = f.readline()
