@@ -81,25 +81,47 @@ class RescoreIn(NamedTuple):
 
 def _ref_chars(ref_bin, n_bases, offset, width):
     """(N, width) ref chars at offset..offset+width-1 (gold get_ref:
-    negative start clamps to 0 first, then indices clip)."""
-    ar = jnp.arange(width, dtype=I32)[None, :]
-    idx = jnp.clip(jnp.maximum(offset, 0)[:, None] + ar, 0, n_bases - 1)
-    byte = ref_bin[idx >> 2]
-    shift = (6 - ((idx & 3) << 1)).astype(jnp.uint8)
-    return (byte >> shift) & jnp.uint8(3)
+    negative start clamps to 0 first, then indices clip).
+
+    Gathers packed BYTES (width/4 + 1 per lane) instead of one byte per
+    char: gathers cost ~12 ns/element on this chip regardless of element
+    width, so pulling 4 chars per gather is a 4x cut on the dominant
+    term. Alignment is resolved with an elementwise 4-way select; chars
+    past n_bases replicate the last char (gold clip semantics)."""
+    off0 = jnp.maximum(offset, 0)
+    nb = width // 4 + 1
+    b0 = off0 >> 2
+    bidx = jnp.clip(b0[:, None] + jnp.arange(nb, dtype=I32)[None, :], 0,
+                    ref_bin.shape[0] - 1)
+    byts = ref_bin[bidx]
+    chars = jnp.stack([(byts >> 6) & 3, (byts >> 4) & 3,
+                       (byts >> 2) & 3, byts & 3], axis=2)
+    chars = chars.reshape(chars.shape[0], 4 * nb)  # chars at 4*b0 ...
+    a = (off0 & 3)[:, None]
+    win = chars[:, 0:width]
+    for s in (1, 2, 3):
+        win = jnp.where(a == s, chars[:, s : s + width], win)
+    last = (ref_bin[(n_bases - 1) >> 2]
+            >> jnp.uint8(6 - (((n_bases - 1) & 3) << 1))) & jnp.uint8(3)
+    idx = off0[:, None] + jnp.arange(width, dtype=I32)[None, :]
+    return jnp.where(idx >= n_bases, last, win)
 
 
-def _searchsorted_rows(vals, dslot, n_valid, queries, side_left: bool):
-    """Per-row binary search: vals (N, 2, K) sorted along axis 2, row
-    selected by dslot (N,); queries (N, P). The direction select stays
-    inside the gather so no (N, K) row is ever materialized.
+def _searchsorted_rows(vals, dslot, n_valid, queries, side_left: bool,
+                       row_map=None):
+    """Per-row binary search: vals (B, 2, K) sorted along axis 2, row
+    selected by row_map (N,) (identity when None) then dslot (N,);
+    queries (N, P). The direction select stays inside the gather so no
+    (N, K) row is ever materialized.
 
     Returns (N, P) insertion points within [0, n_valid]."""
-    N, _, K = vals.shape
+    K = vals.shape[2]
     lo = jnp.zeros(queries.shape, I32)
     hi = jnp.broadcast_to(n_valid[:, None], queries.shape).astype(I32)
     steps = int(K).bit_length() + 1
-    rows = jnp.arange(N, dtype=I32)[:, None]
+    if row_map is None:
+        row_map = jnp.arange(queries.shape[0], dtype=I32)
+    rows = row_map[:, None]
     dcol = dslot[:, None]
     for _ in range(steps):
         cont = lo < hi
@@ -255,10 +277,17 @@ def _side_complete(st: VMState, m, lanes):
         need_fetch=jnp.where(m, go_left, st.need_fetch))
 
 
-def _proc_micro(st: VMState, inp: RescoreIn):
-    """One cheap micro-step: control transitions + one sms node per lane."""
+def _proc_micro(st: VMState, inp: RescoreIn, rows=None):
+    """One cheap micro-step: control transitions + one sms node per lane.
+
+    `rows` maps (compacted) lanes to rows of the batch-wide inp tables;
+    identity when None."""
     B = st.mode.shape[0]
     lanes = jnp.arange(B, dtype=I32)
+    if rows is None:
+        rows = lanes
+    n_chains = inp.n_chains[rows]
+    n_hash = inp.n_hash[rows]
     chains, sms = st.chains, st.sms
 
     # ---- M_NEXT: advance to the next unscored chain -----------------------
@@ -267,10 +296,10 @@ def _proc_micro(st: VMState, inp: RescoreIn):
     # scan forward over fixed C_CAP slots for the next sum_score != 0
     pick = jnp.full((B,), C_CAP, I32)
     for s in range(C_CAP - 1, -1, -1):
-        cand_ok = (s >= nci) & (s < inp.n_chains) & (
+        cand_ok = (s >= nci) & (s < n_chains) & (
             chains[:, s, C_SUM] != 0)
         pick = jnp.where(cand_ok, s, pick)
-    done = m_next & (pick >= inp.n_chains)
+    done = m_next & (pick >= n_chains)
     start = m_next & ~done
     ci2 = jnp.where(m_next, pick, st.chain_i)
     cur_anchor = chains[lanes, jnp.clip(ci2, 0, C_CAP - 1), C_CUR]
@@ -286,8 +315,8 @@ def _proc_micro(st: VMState, inp: RescoreIn):
 
     # ---- M_MID control: gap advance / completion --------------------------
     m_mid = (st.mode == M_MID) & ~st.need_fetch & (st.cur_sms >= st.n_sms)
-    pre = inp.anchors[lanes, jnp.clip(st.mid_cur, 0, A_CAP - 1), 3]
-    cur_m = inp.anchors[lanes, jnp.clip(st.mid_cur, 0, A_CAP - 1), 2]
+    pre = inp.anchors[rows, jnp.clip(st.mid_cur, 0, A_CAP - 1), 3]
+    cur_m = inp.anchors[rows, jnp.clip(st.mid_cur, 0, A_CAP - 1), 2]
     terminal = m_mid & (pre < 0)
     mid_score2 = jnp.where(terminal, st.mid_score + cur_m - K9 + 1,
                            st.mid_score)
@@ -406,14 +435,14 @@ def _proc_micro(st: VMState, inp: RescoreIn):
     found = jnp.zeros((B,), bool)
     found_ci = jnp.zeros((B,), I32)
     for e in range(2 * C_CAP):
-        ent = inp.schash[:, e]  # [key, eci, s_or_e]
+        ent = inp.schash[rows, e]  # [key, eci, s_or_e]
         eci = jnp.clip(ent[:, 1], 0, C_CAP - 1)
         dis_con = jnp.where(is_left,
                             ch[lanes, eci, C_TED] - ch[lanes, eci, C_QED],
                             ch[lanes, eci, C_TST] - ch[lanes, eci, C_QST])
         q_pos_con = jnp.where(is_left, ch[lanes, eci, C_QED] - K9,
                               ch[lanes, eci, C_QST])
-        okc = (do_comb & ~found & (e < inp.n_hash)
+        okc = (do_comb & ~found & (e < n_hash)
                & (ent[:, 0] == (dis & 0xFF))
                & (dis == dis_con)
                & (ent[:, 1] != st.chain_i)
@@ -466,10 +495,44 @@ def _proc_micro(st: VMState, inp: RescoreIn):
 
 
 def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, ref_bin, ref_off,
-                ref_len_arr, n_bases: int):
-    """Heavy step: for lanes with need_fetch, run the per-mode window
-    logic (pre-checks, ref gather, 9-mer probe + match building, sms
-    append, post-checks)."""
+                ref_len_arr, n_bases: int, bf: int):
+    """Heavy step, lane-compacted: gather the (<= bf) lanes that need a
+    window fetch into a compact buffer, run the per-mode window logic at
+    width bf, scatter the state back. Lanes beyond bf capacity keep
+    need_fetch set and are served on a later iteration (they stall in
+    the micro-steps meanwhile — correctness is unaffected).
+
+    Fetch occupancy is low after the first iterations (most lanes are
+    node-processing or done), so running the gather-heavy window work at
+    bf << B is the main throughput lever of this kernel."""
+    B = st.mode.shape[0]
+    bf = min(bf, B)
+    act_full = st.need_fetch & ~st.fallback & (st.mode >= M_MID)
+    key = jnp.where(act_full, B - jnp.arange(B, dtype=I32), 0)
+    keyv, rows = jax.lax.top_k(key, bf)
+    valid = keyv > 0
+    rows_g = jnp.where(valid, rows, 0).astype(I32)
+    st_c = jax.tree.map(lambda f: f[rows_g], st)
+    # make invalid compact slots inert inside the body
+    st_c = st_c._replace(need_fetch=st_c.need_fetch & valid,
+                         fallback=st_c.fallback | ~valid)
+    out_c = _fetch_body(st_c, rows_g, inp, rk_tables, ref_bin, ref_off,
+                        ref_len_arr, n_bases)
+    rows_s = jnp.where(valid, rows, B).astype(I32)
+
+    def scat(full, comp):
+        ext = jnp.concatenate([full, full[:1]], axis=0)
+        return ext.at[rows_s].set(comp)[:B]
+
+    return jax.tree.map(scat, st, out_c)
+
+
+def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, ref_bin,
+                ref_off, ref_len_arr, n_bases: int):
+    """Window-fetch logic at compact width N: pre-checks, packed ref
+    gather, 9-mer probe + match building, sms append, post-checks.
+    `rows` maps compact lanes to rows of the batch-wide inp/rk tables;
+    st is the compacted per-lane state."""
     B = st.mode.shape[0]
     lanes = jnp.arange(B, dtype=I32)
     ci = jnp.clip(st.chain_i, 0, C_CAP - 1)
@@ -485,7 +548,7 @@ def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, ref_bin, ref_off,
     t_length = ref_len_arr[jnp.clip(chain_ref, 0, ref_off.shape[0] - 1)]
     q_st_c = ch[lanes, ci, C_QST]
     q_ed_c = ch[lanes, ci, C_QED]
-    l_read = inp.read_len
+    l_read = inp.read_len[rows]
 
     # ---- RIGHT pre-checks --------------------------------------------------
     next_step = (t_length - st.c_t_off).astype(U32)
@@ -508,9 +571,9 @@ def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, ref_bin, ref_off,
 
     # ---- MID gap geometry --------------------------------------------------
     mc = jnp.clip(st.mid_cur, 0, A_CAP - 1)
-    cur_a = inp.anchors[lanes, mc]          # current c_a
+    cur_a = inp.anchors[rows, mc]          # current c_a
     pre_i = jnp.clip(cur_a[:, 3], 0, A_CAP - 1)
-    pre_a = inp.anchors[lanes, pre_i]
+    pre_a = inp.anchors[rows, pre_i]
     pre_roff3 = pre_a[:, 1] - 3
     trl = cur_a[:, 1] - (pre_roff3 + pre_a[:, 2]) + 3
     mid_has_win = is_mid & (trl > 12)
@@ -561,23 +624,24 @@ def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, ref_bin, ref_off,
     ivals = (jnp.arange(P_CAP, dtype=I32)[None, :] + 1) * 4   # i = 4,8,...
     p_on = probe_ok[:, None] & (ivals < t_kmer_num[:, None])
     tpos = jnp.where(is_l[:, None], t_kmer_num[:, None] - 1 - ivals, ivals)
-    # 9-mer value at window position t0 + tpos
-    pv = jnp.zeros((B, P_CAP), I32)
+    # rolling 9-mer values over the whole window (elementwise shifts) so
+    # each probe costs ONE gather instead of K9
+    wk = jnp.zeros((B, W_CAP), I32)
+    w32 = win.astype(I32)
     for k in range(K9):
-        wi = jnp.clip(t0[:, None] + tpos + k, 0, W_CAP - 1)
-        cc = win[lanes[:, None], wi].astype(I32)
-        pv = (pv << 2) | cc
+        wk = (wk << 2) | jnp.pad(w32[:, k:], ((0, 0), (0, k)))
+    pv = wk[lanes[:, None], jnp.clip(t0[:, None] + tpos, 0, W_CAP - 1)]
     dslot = jnp.clip(chain_dir, 0, 1)
     rkv, rkp = rk_tables
     K_rk = rkv.shape[2]
-    rkn = jnp.where(inp.read_len >= K9, inp.read_len - K9 + 1, 0)
-    lo = _searchsorted_rows(rkv, dslot, rkn, pv, True)
+    rkn = jnp.where(l_read >= K9, l_read - K9 + 1, 0)
+    lo = _searchsorted_rows(rkv, dslot, rkn, pv, True, row_map=rows)
     # hi via forward scan: multiplicities are tiny (<= H_CAP), so H_CAP+1
     # gathers beat a second 14-step binary search
     run_eq = jnp.ones(lo.shape, bool)
     cnt = jnp.zeros(lo.shape, I32)
     for k in range(H_CAP + 1):
-        v = rkv[lanes[:, None], dslot[:, None],
+        v = rkv[rows[:, None], dslot[:, None],
                 jnp.clip(lo + k, 0, K_rk - 1)]
         run_eq = run_eq & (lo + k < rkn[:, None]) & (v == pv)
         cnt = cnt + run_eq.astype(I32)
@@ -592,7 +656,7 @@ def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, ref_bin, ref_off,
     # small. top_k with key = BIG - slot preserves gold's emission order.
     hidx = jnp.arange(H_CAP, dtype=I32)[None, None, :]
     cand_ok = p_on[:, :, None] & (lo[:, :, None] + hidx < hi[:, :, None])
-    qpos = rkp[lanes[:, None, None], dslot[:, None, None],
+    qpos = rkp[rows[:, None, None], dslot[:, None, None],
                jnp.clip(lo[:, :, None] + hidx, 0, K_rk - 1)]
     qpos_u = qpos.astype(U32)
     cand_ok = cand_ok & (qpos_u >= q_bg[:, None, None].astype(U32)) \
@@ -620,7 +684,7 @@ def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, ref_bin, ref_off,
     sq = jnp.where(is_l[:, None], qbase + c_qpos + K9, qbase + c_qpos - 1)
     sw = jnp.where(is_l[:, None], t0[:, None] + c_tp + K9,
                    t0[:, None] + c_tp - 1)
-    short = _run_len2(inp.codes_fr, inp.buf_len, lanes, sq, sstep, win,
+    short = _run_len2(inp.codes_fr, inp.buf_len, rows, sq, sstep, win,
                       win_len, sw, sstep, jnp.full((B, CF_CAP), 4, I32),
                       c_on, width=4)
     lead_ok = c_on & ((short < 4) | (c_iv == 4))
@@ -647,7 +711,7 @@ def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, ref_bin, ref_off,
     lq = jnp.where(is_l[:, None], qbase + f_qpos - 1, qbase + f_qpos + K9)
     lw = jnp.where(is_l[:, None], t0[:, None] + f_tpos - 1,
                    t0[:, None] + f_tpos + K9)
-    longr = _run_len2(inp.codes_fr, inp.buf_len, lanes, lq, lstep, win,
+    longr = _run_len2(inp.codes_fr, inp.buf_len, rows, lq, lstep, win,
                       win_len, lw, lstep, long_cap, f_ok)
     back = jnp.where(is_l[:, None], longr, f_short)
     fwd = jnp.where(is_l[:, None], f_short, longr)
@@ -723,11 +787,21 @@ PROC_PER_ITER = 16
 MAX_ITERS = 4096  # safety: lanes still live at the cap fall back to host
 
 
-@functools.partial(jax.jit, static_argnames=("n_bases",))
+@functools.partial(jax.jit, static_argnames=("n_bases", "bf", "bp"))
 def rescore_kernel(inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
-                   n_bases: int):
-    """Run get_score_m2 for every read lane. Returns (chains, fallback)."""
+                   n_bases: int, bf: int | None = None,
+                   bp: int | None = None):
+    """Run get_score_m2 for every read lane. Returns (chains, fallback).
+
+    bf/bp: static compact widths for the window-fetch / node-processing
+    working sets (lanes beyond capacity wait an iteration). Measured
+    demo occupancy: fetch 37%, micro 7-9% of B — hence the defaults."""
     B = inp.n_chains.shape[0]
+    if bf is None:
+        bf = max(64, B // 4)
+    if bp is None:
+        bp = max(64, B // 4)
+    bp = min(bp, B)
     z = jnp.zeros((B,), I32)
     st = VMState(
         mode=jnp.where(inp.n_chains > 0, M_NEXT, M_DONE), chain_i=z - 1,
@@ -746,10 +820,29 @@ def rescore_kernel(inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
 
     def body(c_st):
         it, st = c_st
-        st = jax.lax.fori_loop(0, PROC_PER_ITER,
-                               lambda _k, s: _proc_micro(s, inp), st)
+        # compact the node-processing working set once per iteration:
+        # lanes that can work without a window (ready) run PROC_PER_ITER
+        # micro-steps at width bp; the rest are untouched by micro-steps
+        # (fetch-waiting lanes idle, unselected ready lanes run later)
+        ready = (st.mode != M_DONE) & ~st.fallback & ~st.need_fetch
+        key = jnp.where(ready, B - jnp.arange(B, dtype=I32), 0)
+        keyv, prows = jax.lax.top_k(key, bp)
+        pvalid = keyv > 0
+        prows_g = jnp.where(pvalid, prows, 0).astype(I32)
+        st_c = jax.tree.map(lambda f: f[prows_g], st)
+        st_c = st_c._replace(fallback=st_c.fallback | ~pvalid)
+        st_c = jax.lax.fori_loop(
+            0, PROC_PER_ITER, lambda _k, s: _proc_micro(s, inp, prows_g),
+            st_c)
+        prows_s = jnp.where(pvalid, prows, B).astype(I32)
+
+        def scat(full, comp):
+            ext = jnp.concatenate([full, full[:1]], axis=0)
+            return ext.at[prows_s].set(comp)[:B]
+
+        st = jax.tree.map(scat, st, st_c)
         st = _fetch_step(st, inp, rk_tables, ref_bin, ref_off, ref_len_arr,
-                         n_bases)
+                         n_bases, bf)
         return it + 1, st
 
     it, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))

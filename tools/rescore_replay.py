@@ -1,0 +1,56 @@
+"""Replay the captured full-demo RescoreIn through rescore_kernel.
+
+Usage: python3 tools/rescore_replay.py [--cpu] [bf ...]
+Loads /tmp/rescore_in.npz (written by tools/rescore_stats.py), runs the
+kernel once to compile, then times 3 runs for each requested compact
+width bf. Prints wall seconds — compare against the round-1 profile
+(6.3 s for this capture on the TPU).
+"""
+import sys
+import time
+
+sys.path.insert(0, '/root/repo')
+import jax
+
+if '--cpu' in sys.argv:
+    jax.config.update('jax_platforms', 'cpu')
+jax.config.update("jax_compilation_cache_dir", "/tmp/desamba_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+import jax.numpy as jnp
+
+import desamba_tpu.engine.device.rescore as dr
+
+d = np.load('/tmp/rescore_in.npz')
+inp = dr.RescoreIn(**{f: jnp.asarray(d[f]) for f in dr.RescoreIn._fields})
+ref_bin = jnp.asarray(d['ref_bin'])
+ref_off = jnp.asarray(d['ref_off'])
+ref_len_arr = jnp.asarray(d['ref_len_arr'])
+n_bases = int(d['n_bases'])
+B = inp.n_chains.shape[0]
+print('B =', B, 'platform =', jax.devices()[0].platform)
+
+bfs = [int(a) for a in sys.argv[1:] if a.isdigit()] or [None]
+ref_out = None
+for bf in bfs:
+    t0 = time.time()
+    out = jax.block_until_ready(dr.rescore_kernel(
+        inp, ref_bin, ref_off, ref_len_arr, n_bases=n_bases, bf=bf))
+    t_compile = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = jax.block_until_ready(dr.rescore_kernel(
+            inp, ref_bin, ref_off, ref_len_arr, n_bases=n_bases, bf=bf))
+        times.append(time.time() - t0)
+    chains, fb, reason, iters = out
+    if ref_out is None:
+        ref_out = (np.asarray(chains), np.asarray(fb))
+        match = 'ref'
+    else:
+        match = bool((np.asarray(chains) == ref_out[0]).all()
+                     and (np.asarray(fb) == ref_out[1]).all())
+    print(f'bf={bf}: wall={min(times):.3f}s (first={t_compile:.1f}s) '
+          f'iters={int(iters)} fallbacks={int(np.asarray(fb).sum())} '
+          f'match={match}', flush=True)
