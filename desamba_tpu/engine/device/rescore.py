@@ -44,7 +44,6 @@ H_CAP = 4        # candidate read positions per probe value
 CF_CAP = 96      # valid candidates per fetch (stage-1 compaction)
 F_CAP = 48       # leftmost survivors per fetch (stage-2, long runs)
 W_CAP = 704      # window chars incl. 50-pad
-RUN_CHUNK = 32   # match-run extension chunk
 
 M_DONE, M_NEXT, M_MID, M_RIGHT, M_LEFT = 0, 1, 2, 3, 4
 
@@ -133,42 +132,93 @@ def _searchsorted_rows(vals, dslot, n_valid, queries, side_left: bool,
     return lo
 
 
-def _run_len2(codes_fr, buf_len, rows, qstart, qstep, win, win_len, wstart,
-              wstep, cap, active, width: int = RUN_CHUNK):
-    """Match-run length over a (B, F) candidate grid, chunked by `width`.
+def _popc(v):
+    """SWAR popcount of uint32."""
+    v = v - ((v >> 1) & U32(0x55555555))
+    v = (v & U32(0x33333333)) + ((v >> 2) & U32(0x33333333))
+    v = (v + (v >> 4)) & U32(0x0F0F0F0F)
+    return ((v * U32(0x01010101)) >> 24).astype(I32)
 
-    q[qstart + qstep*k] vs win[wstart + wstep*k], k < cap; stops at the
-    read buffer / window bounds. rows (B,); qstep/wstep (B, 1) +-1;
-    win (B, W_CAP), win_len (B,). Gather volume is B*F*width per chunk
-    iteration — keep F compacted and width matched to the cap."""
+
+def _pack2(ch):
+    """(N, L) uint8 chars -> (N, ceil(L/16)) uint32, char j of a word at
+    bits 2j..2j+1 (little-endian char order)."""
+    N, L = ch.shape
+    pad = (-L) % 16
+    c = jnp.pad(ch, ((0, 0), (0, pad))).astype(jnp.uint32)
+    c = c.reshape(N, -1, 16)
+    sh = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+    return jnp.sum(c << sh, axis=2).astype(jnp.uint32)
+
+
+def _word16(pk, rows, base):
+    """16-char packed value starting at char index `base` (per element).
+    Out-of-range chars are garbage (zeros for base<0) — callers bound
+    the usable length so garbage never counts."""
+    b = jnp.maximum(base, 0)
+    w0 = b >> 4
+    sh = ((b & 15) << 1).astype(U32)
+    kw = pk.shape[1]
+    g0 = pk[rows, jnp.clip(w0, 0, kw - 1)]
+    g1 = pk[rows, jnp.clip(w0 + 1, 0, kw - 1)]
+    v = jnp.where(sh == 0, g0, (g0 >> sh) | (g1 << (U32(32) - sh)))
+    # negative base: place char 0 at bit 2*(-base), zeros below
+    neg = jnp.minimum(jnp.maximum(-base, 0), 15).astype(U32)
+    return jnp.where(base < 0, v << (neg << 1), v)
+
+
+def _run_len2(codes_pk, buf_len, rows, qstart, win_pk, win_len, wstart,
+              step, cap, active):
+    """Match-run length over a (B, F) candidate grid via packed 2-bit
+    LCE: q[qstart + step*k] vs win[wstart + step*k], k < cap, stopping
+    at the read buffer / window bounds.
+
+    Each 16-char chunk costs 4 word-gathers per element (vs 32 char
+    gathers unpacked — gathers are ~12 ns/element on this chip, so the
+    packing is an ~8x cut on the kernel's dominant term). Matching
+    prefix length comes from the XOR of funnel-extracted words: trailing
+    2-bit zero groups for forward runs, leading for backward.
+
+    codes_pk/win_pk are _pack2 of the read buffers / fetched windows;
+    rows (B,) maps lanes to codes_pk rows; step (B, 1) +-1 applies to
+    both sides (the walk directions always agree)."""
     B, F = qstart.shape
     n = jnp.zeros((B, F), I32)
     run = active & (cap > 0)
-    ar = jnp.arange(width, dtype=I32)[None, None, :]
-    blen = buf_len[rows][:, None, None]
-    wlen = win_len[:, None, None]
+    blen = buf_len[rows][:, None]
+    wlen = win_len[:, None]
+    wrows = jnp.arange(B, dtype=I32)[:, None]
+    rrows = rows[:, None]
 
     def body(st):
         n, run = st
-        k = n[:, :, None] + ar
-        qi = qstart[:, :, None] + qstep[:, :, None] * k
-        wi = wstart[:, :, None] + wstep[:, :, None] * k
-        q_ok = (qi >= 0) & (qi < blen)
-        w_ok = (wi >= 0) & (wi < wlen)
-        qc = codes_fr[rows[:, None, None],
-                      jnp.clip(qi, 0, codes_fr.shape[1] - 1)]
-        wc = win[jnp.arange(B, dtype=I32)[:, None, None],
-                 jnp.clip(wi, 0, W_CAP - 1)]
-        m = q_ok & w_ok & (k < cap[:, :, None]) & (qc == wc)
-        mask = jnp.sum(m.astype(U32) << ar.astype(U32), axis=2)
-        low = (~mask) & (mask + U32(1))
-        mm = low - U32(1)
-        mm = mm - ((mm >> 1) & U32(0x55555555))
-        mm = (mm & U32(0x33333333)) + ((mm >> 2) & U32(0x33333333))
-        mm = (mm + (mm >> 4)) & U32(0x0F0F0F0F)
-        adv = ((mm * U32(0x01010101)) >> 24).astype(I32)
+        qi = qstart + step * n
+        wi = wstart + step * n
+        fwd = step > 0
+        qw = _word16(codes_pk, rrows, jnp.where(fwd, qi, qi - 15))
+        ww = _word16(win_pk, wrows, jnp.where(fwd, wi, wi - 15))
+        y = qw ^ ww
+        y = (y | (y >> 1)) & U32(0x55555555)
+        t = (y & (~y + U32(1))) - U32(1)
+        m_fwd = _popc(t & U32(0x55555555))
+        s = y | (y >> 2)
+        s = s | (s >> 4)
+        s = s | (s >> 8)
+        s = s | (s >> 16)
+        m_bwd = 16 - _popc(s & U32(0x55555555))
+        m = jnp.where(fwd, m_fwd, m_bwd)
+        # chars available from qi to the boundary; a start already out of
+        # bounds (forward qi<0, backward qi>=len) yields 0 like the
+        # per-char break it replaces
+        q_remain = jnp.where(fwd, jnp.where(qi >= 0, blen - qi, 0),
+                             jnp.where(qi < blen, qi + 1, 0))
+        w_remain = jnp.where(fwd, jnp.where(wi >= 0, wlen - wi, 0),
+                             jnp.where(wi < wlen, wi + 1, 0))
+        lim = jnp.maximum(
+            jnp.minimum(jnp.minimum(q_remain, w_remain), cap - n), 0)
+        adv = jnp.minimum(m, jnp.minimum(lim, 16))
         n2 = jnp.where(run, n + adv, n)
-        run2 = run & (adv == width) & (n2 < cap)
+        run2 = run & (adv == 16) & (n2 < cap)
         return n2, run2
 
     n, _ = jax.lax.while_loop(lambda s: s[1].any(), body, (n, run))
@@ -494,8 +544,8 @@ def _proc_micro(st: VMState, inp: RescoreIn, rows=None):
     return st
 
 
-def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, ref_bin, ref_off,
-                ref_len_arr, n_bases: int, bf: int):
+def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, codes_pk, ref_bin,
+                ref_off, ref_len_arr, n_bases: int, bf: int):
     """Heavy step, lane-compacted: gather the (<= bf) lanes that need a
     window fetch into a compact buffer, run the per-mode window logic at
     width bf, scatter the state back. Lanes beyond bf capacity keep
@@ -516,8 +566,8 @@ def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, ref_bin, ref_off,
     # make invalid compact slots inert inside the body
     st_c = st_c._replace(need_fetch=st_c.need_fetch & valid,
                          fallback=st_c.fallback | ~valid)
-    out_c = _fetch_body(st_c, rows_g, inp, rk_tables, ref_bin, ref_off,
-                        ref_len_arr, n_bases)
+    out_c = _fetch_body(st_c, rows_g, inp, rk_tables, codes_pk, ref_bin,
+                        ref_off, ref_len_arr, n_bases)
     rows_s = jnp.where(valid, rows, B).astype(I32)
 
     def scat(full, comp):
@@ -527,8 +577,8 @@ def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, ref_bin, ref_off,
     return jax.tree.map(scat, st, out_c)
 
 
-def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, ref_bin,
-                ref_off, ref_len_arr, n_bases: int):
+def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
+                ref_bin, ref_off, ref_len_arr, n_bases: int):
     """Window-fetch logic at compact width N: pre-checks, packed ref
     gather, 9-mer probe + match building, sms append, post-checks.
     `rows` maps compact lanes to rows of the batch-wide inp/rk tables;
@@ -597,6 +647,7 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, ref_bin,
     # bug branch: window chars sit at [0:msr], zero-filled to msr+50
     wpos = jnp.arange(W_CAP, dtype=I32)[None, :]
     win = jnp.where(bug_l[:, None] & (wpos >= msr[:, None]), 0, win)
+    win_pk = _pack2(win)
     # left normal branch: probes start at t0=50; bug branch keeps t0=50 so
     # matching is offset by +50 into the zero region (reference bug kept)
     t_st = jnp.where(is_mid, pre_roff3 + pre_a[:, 2],
@@ -684,9 +735,8 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, ref_bin,
     sq = jnp.where(is_l[:, None], qbase + c_qpos + K9, qbase + c_qpos - 1)
     sw = jnp.where(is_l[:, None], t0[:, None] + c_tp + K9,
                    t0[:, None] + c_tp - 1)
-    short = _run_len2(inp.codes_fr, inp.buf_len, rows, sq, sstep, win,
-                      win_len, sw, sstep, jnp.full((B, CF_CAP), 4, I32),
-                      c_on, width=4)
+    short = _run_len2(codes_pk, inp.buf_len, rows, sq, win_pk, win_len,
+                      sw, sstep, jnp.full((B, CF_CAP), 4, I32), c_on)
     lead_ok = c_on & ((short < 4) | (c_iv == 4))
 
     # stage 2: compact leftmost survivors to F_CAP for the long run
@@ -711,8 +761,8 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, ref_bin,
     lq = jnp.where(is_l[:, None], qbase + f_qpos - 1, qbase + f_qpos + K9)
     lw = jnp.where(is_l[:, None], t0[:, None] + f_tpos - 1,
                    t0[:, None] + f_tpos + K9)
-    longr = _run_len2(inp.codes_fr, inp.buf_len, rows, lq, lstep, win,
-                      win_len, lw, lstep, long_cap, f_ok)
+    longr = _run_len2(codes_pk, inp.buf_len, rows, lq, win_pk, win_len,
+                      lw, lstep, long_cap, f_ok)
     back = jnp.where(is_l[:, None], longr, f_short)
     fwd = jnp.where(is_l[:, None], f_short, longr)
     total = back + fwd + 1
@@ -817,6 +867,7 @@ def rescore_kernel(inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
         return (it < MAX_ITERS) & ((st.mode != M_DONE) & ~st.fallback).any()
 
     rk_tables = _build_rk_tables(inp.codes_fr, inp.read_len)
+    codes_pk = _pack2(inp.codes_fr)
 
     def body(c_st):
         it, st = c_st
@@ -841,8 +892,8 @@ def rescore_kernel(inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
             return ext.at[prows_s].set(comp)[:B]
 
         st = jax.tree.map(scat, st, st_c)
-        st = _fetch_step(st, inp, rk_tables, ref_bin, ref_off, ref_len_arr,
-                         n_bases, bf)
+        st = _fetch_step(st, inp, rk_tables, codes_pk, ref_bin, ref_off,
+                         ref_len_arr, n_bases, bf)
         return it + 1, st
 
     it, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))

@@ -31,18 +31,26 @@ n_bases = int(d['n_bases'])
 B = inp.n_chains.shape[0]
 print('B =', B, 'platform =', jax.devices()[0].platform)
 
-bfs = [int(a) for a in sys.argv[1:] if a.isdigit()] or [None]
+def parse(a):
+    if ':' in a:
+        f, p = a.split(':')
+        return int(f), int(p)
+    return int(a), None
+
+
+grid = [parse(a) for a in sys.argv[1:] if a[0].isdigit()] or [(None, None)]
 ref_out = None
-for bf in bfs:
+for bf, bp in grid:
     t0 = time.time()
     out = jax.block_until_ready(dr.rescore_kernel(
-        inp, ref_bin, ref_off, ref_len_arr, n_bases=n_bases, bf=bf))
+        inp, ref_bin, ref_off, ref_len_arr, n_bases=n_bases, bf=bf, bp=bp))
     t_compile = time.time() - t0
     times = []
     for _ in range(3):
         t0 = time.time()
         out = jax.block_until_ready(dr.rescore_kernel(
-            inp, ref_bin, ref_off, ref_len_arr, n_bases=n_bases, bf=bf))
+            inp, ref_bin, ref_off, ref_len_arr, n_bases=n_bases, bf=bf,
+            bp=bp))
         times.append(time.time() - t0)
     chains, fb, reason, iters = out
     if ref_out is None:
@@ -51,6 +59,7 @@ for bf in bfs:
     else:
         match = bool((np.asarray(chains) == ref_out[0]).all()
                      and (np.asarray(fb) == ref_out[1]).all())
-    print(f'bf={bf}: wall={min(times):.3f}s (first={t_compile:.1f}s) '
-          f'iters={int(iters)} fallbacks={int(np.asarray(fb).sum())} '
-          f'match={match}', flush=True)
+    print(f'bf={bf} bp={bp}: wall={min(times):.3f}s '
+          f'(first={t_compile:.1f}s) iters={int(iters)} '
+          f'fallbacks={int(np.asarray(fb).sum())} match={match}',
+          flush=True)

@@ -114,8 +114,8 @@ def kernel_trips(inp, ref_bin, ref_off, ref_len_arr, n_bases):
         wh = wh + jnp.sum(
             (bucket[:, None] == jnp.arange(12)[None, :]) & act[:, None],
             axis=0).astype(jnp.int64)
-        st = dr._fetch_step(st, inp, rk_tables, ref_bin, ref_off,
-                            ref_len_arr, n_bases, B)
+        st = dr._fetch_step(st, inp, rk_tables, dr._pack2(inp.codes_fr),
+                            ref_bin, ref_off, ref_len_arr, n_bases, B)
         live = (st.mode != dr.M_DONE) & ~st.fallback
         fin = jnp.where(live, it + 1, fin)
         return it + 1, st, fin, cnt, wh
