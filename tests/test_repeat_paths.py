@@ -1,0 +1,180 @@
+"""Differential tests for the repeat-driven branches the demo never hits:
+
+- M3 chaining (>=50 anchors -> sort + sparse DP, src/cly.c:238-349,
+  gold/chain.py:100)
+- super-repeat occurrence guard in map_seed (>50 occurrences selects all,
+  >=1000 returns score 50 with no anchors, src/cly.c:847-887)
+
+Both are compared byte-for-byte against the reference binary classifying
+the same repeat-heavy genome, and the instrumented gold engine must
+actually take the target code path (no vacuous pass).
+"""
+import subprocess
+
+import numpy as np
+import pytest
+
+from conftest import build_reference_index
+
+
+@pytest.fixture(scope="module")
+def repeat_genome(tmp_path_factory):
+    """~300kb synthetic genome with a 60x repeat unit (drives >=50
+    anchors -> M3) and a 1100x unit (drives the >=1000-occurrence
+    guard). N patches fragment the dBG as in small_genome (the reference
+    binary needs unitig-start k-mers spread over k-mer space)."""
+    rng = np.random.default_rng(23)
+    d = tmp_path_factory.mktemp("repgen")
+    fa = d / "repeat.fa"
+    bases = np.array(list("ACGT"))
+    unit_a = "".join(rng.choice(bases, size=180))   # 60 copies
+    unit_b = "".join(rng.choice(bases, size=120))   # 1100 copies
+    with open(fa, "w") as f:
+        for i, tid in enumerate([11, 22, 33]):
+            seq = list("".join(rng.choice(bases, size=30000)))
+            for at in range(1000, 29000, 1100):
+                seq[at : at + 3] = list("NNN")
+            for at in range(2000, 28000, 1300):
+                seq[at : at] = list(unit_a)
+            s = "".join(seq)
+            if i == 0:
+                # the 1100x block, copies separated by random 30bp spacers
+                blocks = []
+                for _ in range(1100):
+                    blocks.append(unit_b)
+                    blocks.append("".join(rng.choice(bases, size=30)))
+                s = s + "NNN" + "".join(blocks)
+            f.write(f">tid|{tid}|ref|REP_{i} synthetic\n")
+            for j in range(0, len(s), 80):
+                f.write(s[j : j + 80] + "\n")
+    return fa, unit_a, unit_b
+
+
+@pytest.fixture(scope="module")
+def repeat_reads(repeat_genome, tmp_path_factory):
+    """Reads crafted to hit the branches + noisy background reads."""
+    rng = np.random.default_rng(5)
+    fa, unit_a, unit_b = repeat_genome
+    bases = np.array(list("ACGT"))
+
+    def mutate(s, rate=0.04):
+        arr = np.frombuffer(s.encode(), np.uint8).copy()
+        pos = rng.random(len(arr)) < rate
+        arr[pos] = np.frombuffer(
+            "".join(rng.choice(bases, size=int(pos.sum()))).encode(),
+            np.uint8)
+        return arr.tobytes().decode()
+
+    flank = "".join(rng.choice(bases, size=150))
+    reads = []
+    # unit-A content fans every MEM to ~60 anchors -> M3
+    reads.append(("m3_read", mutate(unit_a + flank + unit_a, 0.02)))
+    # unit-B content hits the >=1000-occurrence guard (score-50 path)
+    reads.append(("super_read", mutate(flank + unit_b + unit_b, 0.02)))
+    for k in range(6):
+        reads.append((f"bg_{k}",
+                      "".join(rng.choice(bases, size=400))))
+    d = tmp_path_factory.mktemp("repreads")
+    fq = d / "reads.fq"
+    with open(fq, "w") as f:
+        for name, seq in reads:
+            f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+    return fq, reads
+
+
+@pytest.fixture(scope="module")
+def repeat_ref_index(reference_binary, repeat_genome, tmp_path_factory):
+    out = tmp_path_factory.mktemp("repidx_ref")
+    build_reference_index(reference_binary, repeat_genome[0], out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def repeat_my_index(repeat_genome):
+    from desamba_tpu.index.build import build_index
+
+    return build_index(str(repeat_genome[0]))
+
+
+@pytest.fixture(scope="module")
+def reference_sam(reference_binary, repeat_ref_index, repeat_reads,
+                  tmp_path_factory):
+    out = tmp_path_factory.mktemp("repout") / "ref.sam"
+    subprocess.run(
+        [str(reference_binary), "classify", "-t", "1",
+         str(repeat_ref_index), str(repeat_reads[0]), "-o", str(out)],
+        check=True, capture_output=True)
+    return out.read_text()
+
+
+def test_m3_and_super_repeat_paths_taken(repeat_my_index, repeat_reads):
+    """The crafted reads actually drive chain_insert_m3 and the
+    >=1000-occurrence early return (not a vacuous differential)."""
+    from desamba_tpu.engine.gold import chain as chain_mod
+    from desamba_tpu.engine.gold.classify import ClassifyEngine, Options
+
+    m3_calls = [0]
+    orig_m3 = chain_mod.chain_insert_m3
+
+    def count_m3(anchors, chains):
+        m3_calls[0] += 1
+        return orig_m3(anchors, chains)
+
+    huge_hits = [0]
+    from desamba_tpu.engine.gold import fastslow, mapseed as ms_mod
+
+    orig_ms = ms_mod.map_seed
+
+    def count_ms(*a, **kw):
+        r = orig_ms(*a, **kw)
+        if r == 50:
+            huge_hits[0] += 1
+        return r
+
+    chain_mod.chain_insert_m3 = count_m3
+    fastslow.map_seed = count_ms
+    try:
+        eng = ClassifyEngine(repeat_my_index, Options())
+        from desamba_tpu.io.fastx import read_fastx
+
+        for rec in read_fastx(str(repeat_reads[0])):
+            eng.classify_read(rec.name, rec.seq, rec.qual)
+    finally:
+        chain_mod.chain_insert_m3 = orig_m3
+        fastslow.map_seed = orig_ms
+    assert m3_calls[0] >= 1, "M3 chain path not exercised"
+    assert huge_hits[0] >= 1, ">=1000-occurrence guard not exercised"
+
+
+def test_repeat_sam_parity_vs_reference(repeat_my_index, repeat_reads,
+                                        reference_sam):
+    """Gold engine == reference binary on the repeat corpus (M3 + super
+    repeat + background), byte-identical SAM."""
+    from desamba_tpu.engine.gold.classify import ClassifyEngine, Options
+    from desamba_tpu.io.fastx import read_fastx
+    from desamba_tpu.io.sam import format_result
+
+    eng = ClassifyEngine(repeat_my_index, Options())
+    out = []
+    for rec in read_fastx(str(repeat_reads[0])):
+        res = eng.classify_read(rec.name, rec.seq, rec.qual)
+        out.append(format_result(res, repeat_my_index.ref_name, eng.opts))
+    assert "".join(out) == reference_sam
+
+
+def test_repeat_device_engine_matches_gold(repeat_my_index, repeat_reads):
+    """Device engine output == gold on the repeat corpus (anchor-buffer
+    overflows must fall back cleanly, not corrupt)."""
+    from desamba_tpu.engine.device.classifier import DeviceClassifier
+    from desamba_tpu.engine.gold.classify import ClassifyEngine, Options
+    from desamba_tpu.io.fastx import read_fastx
+    from desamba_tpu.io.sam import format_result
+
+    recs = list(read_fastx(str(repeat_reads[0])))
+    gold = ClassifyEngine(repeat_my_index, Options())
+    exp = [format_result(gold.classify_read(r.name, r.seq, r.qual),
+                         repeat_my_index.ref_name, gold.opts) for r in recs]
+    dev = DeviceClassifier(repeat_my_index, Options())
+    got = [format_result(res, repeat_my_index.ref_name, dev.opts)
+           for res in dev.classify_reads(recs)]
+    assert got == exp
