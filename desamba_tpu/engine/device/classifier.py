@@ -1,11 +1,17 @@
-"""DeviceClassifier: batched classify with device seeding/ladders.
+"""DeviceClassifier: batched classify with a device-resident pipeline.
 
-Stage split (v1):
-  device — existence-filter probe, fast ladder, slow ladder (all anchors)
-  host   — island segmentation, chaining, 9-mer rescore, filter, primary
+Stage split (v2):
+  device — existence-filter probe, fast/slow ladders, M2 chaining,
+           9-mer SDP rescore. Anchor rows and chain records stay in HBM
+           between stages; the host sees only small per-lane vectors
+           (counts/flags/decision scalars) until the final rescored
+           chain rows come back.
+  host   — island segmentation, gather-map construction, run_slow
+           decisions, merge/filter/primary (post_rescore_finish), SAM.
 The host stages run per read in input order so stream state
 (max_read_l) and output order match the reference exactly. Reads whose
-device buffers overflow fall back to the gold engine wholesale.
+device buffers overflow (or that hit the M3 >=50-anchor chain path,
+src/cly.c:238-323) fall back to the gold engine wholesale.
 """
 from __future__ import annotations
 
@@ -20,13 +26,13 @@ from ...constants import FORWARD, MIN_READ_LEN, REVERSE
 from ...index.kmers import CLY_BIT
 from ..gold.classify import ClassifyEngine, Options, ReadResult, StreamState
 from ..gold.islands import SearchDir, mark_top
-from ..gold.mapseed import Anchor
-from ..gold.chain import resolve_tree
-from ..gold.rescore import detect_primary, post_rescore_finish, truncate_chains
+from ..gold.chain import Chain
+from ..gold.rescore import detect_primary, post_rescore_finish
 from .arrays import DeviceIndex
 from .islands import bloom_hit_kernel, segment_islands
 from .ladder import fast_ladder, slow_ladder
 from .pipeline import pre13_values
+from . import chain as dc
 from . import rescore as dr
 
 A_CAP = 96
@@ -60,16 +66,6 @@ def _bloom_packed(strands, lens, ek0, ek1, l_ek, single_base_max, mask_bits):
     return jnp.packbits(hitp, axis=1)
 
 
-def _anchor_from_row(row, useless):
-    return Anchor(
-        mtch_len=int(row[0]), score=int(row[1]), left_len=int(row[2]),
-        left_ed=int(row[3]), rigt_len=int(row[4]), rigt_ed=int(row[5]),
-        direction=int(row[6]), global_offset=int(row[7]), ref_id=int(row[8]),
-        ref_offset=int(row[9]), index_in_read=int(row[10]),
-        chain_anchor_pre=None, seed_id=int(row[11]), chain_id=0,
-        anchor_useless=useless, duplicate=False)
-
-
 class DeviceClassifier:
     def __init__(self, idx, opts: Options | None = None, batch_size: int = 2048):
         _enable_compile_cache()
@@ -95,21 +91,41 @@ class DeviceClassifier:
         if not bufs:
             return []
         B = len(bufs)
-        Lmax = max(len(b) // 2 for b in bufs)
-        Lpad = ((Lmax + 1023) // 1024) * 1024
-        Bpad = _bucket(2 * B, 64)
-        strands = np.zeros((Bpad, Lpad), np.uint8)
-        lens = np.zeros((Bpad,), np.int32)
-        for i, b in enumerate(bufs):
-            rl = len(b) // 2
-            strands[2 * i, :rl] = b[:rl]
-            strands[2 * i + 1, :rl] = b[rl:]
-            lens[2 * i] = lens[2 * i + 1] = rl
-        # bit-pack on device: the tunnel downloads ~10 MB/s
-        packed = np.asarray(_bloom_packed(
-            jnp.asarray(strands), jnp.asarray(lens), self.dix.ekmer0,
-            self.dix.ekmer1, l_ek, idx.single_base_max, self.dix.mask_bits))
-        hits = np.unpackbits(packed, axis=1).astype(bool)
+        # bucket strands by read length: padding to the batch max cost
+        # ~2.6x probe work on mixed-length corpora (probe gathers scale
+        # with padded area). Pow-2 width buckets keep jit shapes reused.
+        Lmax_all = max(len(b) // 2 for b in bufs)
+        n_k_max = Lmax_all - l_ek + 1
+        hits = np.zeros((2 * B, n_k_max), bool)
+        order = sorted(range(B), key=lambda i: len(bufs[i]))
+        pos = 0
+        while pos < B:
+            Lc = 1024
+            while len(bufs[order[pos]]) // 2 > Lc:
+                Lc *= 2
+            grp = []
+            while pos < B and len(bufs[order[pos]]) // 2 <= Lc:
+                grp.append(order[pos])
+                pos += 1
+            Bpad = _bucket(2 * len(grp), 64)
+            strands = np.zeros((Bpad, Lc), np.uint8)
+            lens = np.zeros((Bpad,), np.int32)
+            for k, i in enumerate(grp):
+                b = bufs[i]
+                rl = len(b) // 2
+                strands[2 * k, :rl] = b[:rl]
+                strands[2 * k + 1, :rl] = b[rl:]
+                lens[2 * k] = lens[2 * k + 1] = rl
+            # bit-pack on device: the tunnel downloads ~10 MB/s
+            packed = np.asarray(_bloom_packed(
+                jnp.asarray(strands), jnp.asarray(lens), self.dix.ekmer0,
+                self.dix.ekmer1, l_ek, idx.single_base_max,
+                self.dix.mask_bits))
+            got = np.unpackbits(packed, axis=1).astype(bool)
+            for k, i in enumerate(grp):
+                nk = len(bufs[i]) // 2 - l_ek + 1
+                hits[2 * i, :nk] = got[2 * k, :nk]
+                hits[2 * i + 1, :nk] = got[2 * k + 1, :nk]
 
         out = []
         for i, (seq, buf) in enumerate(zip(seqs, bufs)):
@@ -169,8 +185,9 @@ class DeviceClassifier:
             packed_all.append(packed)
             offset += packed.shape[0]
             ovf = ovf or bool(povf)
-        return [np.concatenate(packed_all, axis=0), base_all, acnt_all,
-                skip_all, ovf]
+        packed_dev = (packed_all[0] if len(packed_all) == 1
+                      else jnp.concatenate(packed_all, axis=0))
+        return [packed_dev, base_all, acnt_all, skip_all, ovf]
 
     def _run_ladder_group(self, kind, lanes, codes_fr, buf_len, pre13,
                           read_lens):
@@ -189,13 +206,19 @@ class DeviceClassifier:
                 jnp.asarray(cols[0]), jnp.asarray(cols[1]), jnp.asarray(rlv),
                 jnp.asarray(cols[2]), jnp.asarray(cols[3]),
                 jnp.asarray(cols[4]), jnp.asarray(cols[5]), jnp.asarray(on))
+        bl = min(128, NB)  # measured optimum on the demo (tools/ladder_replay:
+        # 128≈256 beat N/4; 64 stalls the probe pipeline)
         if kind == "fast":
             out = fast_ladder(*args, l_ek=self.idx.len_e_kmer, a_cap=A_CAP,
-                              pack_cap=2 * NB)
+                              pack_cap=2 * NB, bl=bl)
         else:
             out = slow_ladder(*args, l_ek=self.idx.len_e_kmer, a_cap=A_CAP,
-                              m_cap=M_CAP, pack_cap=2 * NB)
-        return [np.asarray(x) for x in jax.block_until_ready(out)]
+                              m_cap=M_CAP, pack_cap=2 * NB, bl=bl)
+        # anchor rows stay in HBM; only the small per-lane vectors land
+        # on host (the pack download was a round-1 bottleneck)
+        packed = out[0]
+        rest = [np.asarray(x) for x in jax.block_until_ready(out[1:])]
+        return [packed] + rest
 
     def _run_fast(self, lanes, codes_fr, buf_len, pre13, read_lens):
         return self._run_ladder("fast", lanes, codes_fr, buf_len, pre13,
@@ -204,30 +227,6 @@ class DeviceClassifier:
     def _run_slow(self, lanes, codes_fr, buf_len, pre13, read_lens):
         return self._run_ladder("slow", lanes, codes_fr, buf_len, pre13,
                                 read_lens)
-
-    @staticmethod
-    def _collect_group(lane_ids, packed_h, base_h, acnt_h, skip_h, out,
-                       fallback):
-        """Apply skip_next + useless marking for one (read, dir) group of
-        fast lanes (in island order); append Anchor objects to out."""
-        skip_next = False
-        for lid in lane_ids:
-            if skip_next:
-                skip_next = False
-                continue
-            cnt = int(acnt_h[lid])
-            if cnt > A_CAP:
-                fallback[0] = True
-                return
-            b = int(base_h[lid])
-            rows = packed_h[b : b + cnt]
-            top = 35
-            for r in rows:
-                top = max(top, int(r[1]))
-            for r in rows:
-                out.append(_anchor_from_row(r, int(r[1]) < top))
-            if skip_h is not None and skip_h[lid]:
-                skip_next = True
 
     # ---- main entry --------------------------------------------------------
     def classify_reads(self, recs):
@@ -286,31 +285,103 @@ class DeviceClassifier:
         fallback_reads = set()
         if fast_out is not None and bool(fast_out[4]):
             fallback_reads.update(todo)
-        chains_by_read = {}
-        anchors_by_read = {}
-        slow0_lanes, slow0_groups = [], {}
+
+        A2 = dr.A_CAP
+        B_pad = codes_np.shape[0]
+        rlen_np = np.zeros((B_pad,), np.int32)
+        for i in todo:
+            rlen_np[rows[i]] = read_lens[i]
+
+        def build_gidx(lane_lists, outs, apply_skip):
+            """Per-read packed-row id lists -> (gidx, n_anc); reads whose
+            rows exceed A2 or whose lanes overflowed fall back. Only the
+            small base/cnt/skip vectors are touched — anchor rows stay on
+            device."""
+            gidx = np.full((B_pad, A2), -1, np.int32)
+            nanc = np.zeros((B_pad,), np.int32)
+            for i, parts in lane_lists.items():
+                if i in fallback_reads:
+                    continue
+                rowids = []
+                ok = True
+                for out, lane_ids in parts:
+                    _, base_h, acnt_h, flag_h, _ = out
+                    skip_next = False
+                    for lid in lane_ids:
+                        if skip_next:
+                            skip_next = False
+                            continue
+                        cnt = int(acnt_h[lid])
+                        if cnt > A_CAP or (not apply_skip and flag_h[lid]):
+                            ok = False   # lane overflow (slow: mem ovf)
+                            break
+                        b0 = int(base_h[lid])
+                        rowids.extend(range(b0, b0 + cnt))
+                        if apply_skip and flag_h[lid]:
+                            skip_next = True
+                    if not ok:
+                        break
+                if not ok or len(rowids) > A2:
+                    fallback_reads.add(i)
+                    continue
+                r = rows[i]
+                gidx[r, : len(rowids)] = rowids
+                nanc[r] = len(rowids)
+            return gidx, nanc
+
+        zero_set = None
+
+        def chain_stage(packed, gidx, nanc):
+            nonlocal zero_set
+            if packed is None:
+                if zero_set is None:
+                    z = jnp.zeros
+                    zero_set = (z((B_pad, dc.C2, dc.CH_NF), jnp.int32),
+                                jnp.zeros((B_pad,), jnp.int32),
+                                jnp.full((B_pad, A2), -1, jnp.int32),
+                                jnp.zeros((B_pad,), bool),
+                                z((B_pad, A2, 3), jnp.int32))
+                return zero_set, np.zeros((B_pad,), np.int32), \
+                    np.zeros((B_pad, 2), np.int32), \
+                    np.zeros((B_pad,), bool)
+            out = dc.chain_step(packed, jnp.asarray(gidx), jnp.asarray(nanc))
+            ch, n, pre, ovf, anc3 = out
+            n_h = np.asarray(n)
+            dec = np.asarray(ch[:, 0, (dc.H_ANUM, dc.H_SUM)])
+            ovf_h = np.asarray(ovf)
+            return out, n_h, dec, ovf_h
+
+        # ---- fast chains (device) -----------------------------------------
+        fast_lists = {}
         for k, i in enumerate(todo):
             dirs, both = island_info[k]
-            anchors = []
-            fb = [False]
+            ids = []
             for dpos in range(2 if both else 1):
-                self._collect_group(fast_groups[(i, dpos)], fast_out[0],
-                                    fast_out[1], fast_out[2], fast_out[3],
-                                    anchors, fb)
-            if fb[0]:
-                fallback_reads.add(i)
+                ids.extend(fast_groups[(i, dpos)])
+            fast_lists[i] = [(fast_out, ids)] if fast_out is not None else []
+        gidx_f, nanc_f = build_gidx(fast_lists, None, True) \
+            if fast_out is not None else (None, np.zeros((B_pad,), np.int32))
+        set_f, n_f, dec_f, ovf_f = chain_stage(
+            fast_out[0] if fast_out is not None else None, gidx_f, nanc_f)
+
+        # ---- run_slow decisions + slow dir0 -------------------------------
+        slow0_lanes, slow0_groups = [], {}
+        for k, i in enumerate(todo):
+            if i in fallback_reads:
                 continue
-            chains = []
-            resolve_tree(anchors, chains)
+            r = rows[i]
+            if ovf_f[r]:
+                fallback_reads.add(i)   # M3 / chain-slot overflow
+                continue
+            dirs, both = island_info[k]
+            n0 = int(n_f[r])
             run_slow = False
-            if not chains:
+            if n0 == 0:
                 run_slow = True
-            elif chains[0].anchor_number < 5:
+            elif int(dec_f[r, 0]) < 5:
                 run_slow = True
-                if read_lens[i] <= 300 and chains[0].sum_score > 200:
+                if read_lens[i] <= 300 and int(dec_f[r, 1]) > 200:
                     run_slow = False
-            chains_by_read[i] = chains
-            anchors_by_read[i] = anchors
             if run_slow:
                 results[i].fast = False
                 sd = dirs[0]
@@ -327,28 +398,25 @@ class DeviceClassifier:
         slow0_out = self._run_slow(slow0_lanes, codes_fr, buf_len, pre13, rl)
         if slow0_out is not None and bool(slow0_out[4]):
             fallback_reads.update(slow0_groups.keys())
+        gidx_s0, nanc_s0 = build_gidx(
+            {i: [(slow0_out, ids)] for i, ids in slow0_groups.items()},
+            None, False) if slow0_out is not None \
+            else (None, np.zeros((B_pad,), np.int32))
+        set_s0, n_s0, dec_s0, ovf_s0 = chain_stage(
+            slow0_out[0] if slow0_out is not None else None, gidx_s0,
+            nanc_s0)
 
-        # ---- slow dir0 results + decide slow dir1 -------------------------
+        # ---- decide + run slow dir1 ---------------------------------------
         slow1_lanes, slow1_groups = [], {}
         for k, i in enumerate(todo):
             if i in fallback_reads or i not in slow0_groups:
                 continue
+            r = rows[i]
+            if ovf_s0[r]:
+                fallback_reads.add(i)
+                continue
             dirs, both = island_info[k]
-            anchors = []
-            fb = [False]
-            if slow0_groups[i]:  # a read can have zero eligible islands
-                self._collect_group(slow0_groups[i], slow0_out[0],
-                                    slow0_out[1], slow0_out[2], None,
-                                    anchors, fb)
-                if fb[0] or any(slow0_out[3][lid]
-                                for lid in slow0_groups[i]):
-                    fallback_reads.add(i)
-                    continue
-            chains = []
-            resolve_tree(anchors, chains)
-            chains_by_read[i] = chains
-            anchors_by_read[i] = anchors
-            if both or not chains or chains[0].anchor_number < 5:
+            if both or int(n_s0[r]) == 0 or int(dec_s0[r, 0]) < 5:
                 sd = dirs[1]
                 first_top = bool(sd.seeds[0][2]) if sd.seeds else False
                 ids = []
@@ -363,171 +431,98 @@ class DeviceClassifier:
         slow1_out = self._run_slow(slow1_lanes, codes_fr, buf_len, pre13, rl)
         if slow1_out is not None and bool(slow1_out[4]):
             fallback_reads.update(slow1_groups.keys())
+        if slow1_out is not None:
+            # chain call 3 consumes slow0 + slow1 anchors per read: offset
+            # the dir1 row ids past the dir0 pack and concat on device
+            off01 = slow0_out[0].shape[0]
+            s1_shift = [slow1_out[0], slow1_out[1] + off01, slow1_out[2],
+                        slow1_out[3], slow1_out[4]]
+            lists01 = {i: [(slow0_out, slow0_groups[i]),
+                           (s1_shift, ids)]
+                       for i, ids in slow1_groups.items()}
+            gidx_s1, nanc_s1 = build_gidx(lists01, None, False)
+            packed01 = jnp.concatenate([slow0_out[0], slow1_out[0]], axis=0)
+        else:
+            gidx_s1, nanc_s1 = None, np.zeros((B_pad,), np.int32)
+            packed01 = None
+        set_s1, n_s1, dec_s1, ovf_s1 = chain_stage(packed01, gidx_s1,
+                                                   nanc_s1)
+        for i in slow1_groups:
+            if ovf_s1[rows[i]]:
+                fallback_reads.add(i)
 
-        for i in list(slow1_groups):
-            if i in fallback_reads:
-                continue
-            anchors = anchors_by_read[i]
-            fb = [False]
-            if slow1_groups[i]:
-                self._collect_group(slow1_groups[i], slow1_out[0],
-                                    slow1_out[1], slow1_out[2], None,
-                                    anchors, fb)
-                if fb[0] or any(slow1_out[3][lid]
-                                for lid in slow1_groups[i]):
-                    fallback_reads.add(i)
-                    continue
-            chains = []
-            resolve_tree(anchors, chains)
-            chains_by_read[i] = chains
-
-        # ---- device rescore ------------------------------------------------
-        dev_scores = self._device_rescore(
-            todo, island_info, chains_by_read, fallback_reads, rows,
-            codes_np, blen_np, read_lens)
+        # ---- device rescore over the whole batch --------------------------
+        sel_np = np.zeros((B_pad,), np.int32)
+        live_np = np.zeros((B_pad,), bool)
+        nanc_final = nanc_f
+        for i in todo:
+            r = rows[i]
+            if i in slow1_groups and slow1_out is not None:
+                sel_np[r] = 2
+                nanc_final[r] = nanc_s1[r]
+            elif i in slow0_groups:
+                sel_np[r] = 1
+                nanc_final[r] = nanc_s0[r]
+            live_np[r] = i not in fallback_reads
+        chs3 = jnp.stack([set_f[0], set_s0[0], set_s1[0]])
+        ns3 = jnp.stack([set_f[1], set_s0[1], set_s1[1]])
+        pre3 = jnp.stack([set_f[2], set_s0[2], set_s1[2]])
+        anc3 = jnp.stack([set_f[4], set_s0[4], set_s1[4]])
+        chains_rc, n_rc, anchors4, schash, n_hash, over = dc.prep_rescore(
+            jnp.asarray(sel_np), chs3, ns3, pre3, anc3)
+        n_rc = jnp.where(jnp.asarray(live_np), n_rc, 0)
+        inp = dr.RescoreIn(
+            chains=chains_rc, n_chains=n_rc, anchors=anchors4,
+            schash=schash, n_hash=n_hash, codes_fr=codes_fr,
+            buf_len=buf_len, read_len=jnp.asarray(rlen_np))
+        dix = self.dix
+        chains_out, fb, _reason, _iters = dr.rescore_kernel(
+            inp, dix.ref_bin, dix.ref_off, dix.ref_len_arr,
+            n_bases=dix.n_bases, bf=max(64, B_pad // 13 // 32 * 32),
+            bp=max(64, B_pad // 10 // 32 * 32), pp=8)
+        chains_h = np.asarray(chains_out)
+        fb_h = np.asarray(fb)
+        n_h = np.asarray(n_rc)
+        over_h = np.asarray(over)
 
         # ---- host finish, in input order ----------------------------------
+        def coord(v):
+            # undo the kernel's uint32-wrap surrogate (T_BIAS) so the
+            # gold finish code sees the reference's exact ints
+            v = int(v)
+            if v >= dr.T_BIAS:
+                return v - dr.T_BIAS + (1 << 32)
+            return v & 0xFFFFFFFF if v < 0 else v
+
         for k, i in enumerate(todo):
             res = results[i]
-            if i in fallback_reads or (
-                    chains_by_read.get(i) and dev_scores.get(i) is None):
+            r = rows[i]
+            if (i in fallback_reads or over_h[r]
+                    or (n_h[r] > 0 and fb_h[r])):
                 g = self.gold
                 g.state = self.state
                 results[i] = g.classify_read(recs[i].name, recs[i].seq,
                                              recs[i].qual)
                 continue
-            dirs, both = island_info[k]
-            res.chains = chains_by_read.get(i, [])
-            res.anchors = anchors_by_read.get(i, [])
+            res.anchors = [None] * int(nanc_final[r])
+            chains = []
+            for ci in range(int(n_h[r])):
+                row = chains_h[r, ci]
+                chains.append(Chain(
+                    ref_id=int(row[dr.C_REF]), q_t_dis=0,
+                    sum_score=int(row[dr.C_SUM]),
+                    anchor_number=int(row[dr.C_ANUM]),
+                    direction=int(row[dr.C_DIR]), with_top_anchor=False,
+                    primary=0, pri_index=0, t_st=coord(row[dr.C_TST]),
+                    t_ed=coord(row[dr.C_TED]), q_st=coord(row[dr.C_QST]),
+                    q_ed=coord(row[dr.C_QED]), indel=int(row[dr.C_INDEL]),
+                    chain_id=ci, chain_anchor_cur=None))
+            res.chains = chains
             if res.chains:
-                rows_dev = dev_scores[i]
-
-                def coord(v):
-                    # undo the kernel's uint32-wrap surrogate (T_BIAS) so
-                    # the gold finish code sees the reference's exact ints
-                    v = int(v)
-                    if v >= dr.T_BIAS:
-                        return v - dr.T_BIAS + (1 << 32)
-                    return v & 0xFFFFFFFF if v < 0 else v
-
-                for ci, c in enumerate(res.chains):
-                    row = rows_dev[ci]
-                    c.sum_score = int(row[dr.C_SUM])
-                    c.anchor_number = int(row[dr.C_ANUM])
-                    c.t_st = coord(row[dr.C_TST])
-                    c.t_ed = coord(row[dr.C_TED])
-                    c.q_st = coord(row[dr.C_QST])
-                    c.q_ed = coord(row[dr.C_QED])
-                    c.indel = int(row[dr.C_INDEL])
                 post_rescore_finish(res.chains, read_lens[i], self.state,
                                     self.opts)
             detect_primary(res.chains, read_lens[i])
         yield from results
-
-    def _device_rescore(self, todo, island_info, chains_by_read,
-                        fallback_reads, rows, codes_np, blen_np, read_lens):
-        """Run rescore_kernel over reads with chains (partitioned by
-        estimated walk length so short reads don't pay long reads' VM
-        iterations); returns {read_i: device chain rows}."""
-        work = []
-        for k, i in enumerate(todo):
-            if i in fallback_reads:
-                continue
-            chains = chains_by_read.get(i)
-            if chains:
-                truncate_chains(chains)
-                if len(chains) > dr.C_CAP:
-                    fallback_reads.add(i)
-                    continue
-                work.append((k, i))
-        if not work:
-            return {}
-        # NOTE: partitioning by estimated walk length was measured SLOWER
-        # here (111 -> 99 reads/s): the rescore VM's fetch steps already
-        # amortize across mixed lanes, and extra dispatches + padding
-        # dominate. One batch it is.
-        return self._device_rescore_part(work, chains_by_read,
-                                         fallback_reads, rows, codes_np,
-                                         blen_np, read_lens)
-
-    def _device_rescore_part(self, work, chains_by_read, fallback_reads,
-                             rows, codes_np, blen_np, read_lens):
-        B = ((len(work) + 255) // 256) * 256  # finer than pow2: the
-        # rescore kernel's gathers scale with B, so padding waste matters
-        chains_a = np.zeros((B, dr.C_CAP, dr.CF_N), np.int32)
-        n_chains = np.zeros((B,), np.int32)
-        anchors_a = np.zeros((B, dr.A_CAP, dr.AF_N), np.int32)
-        schash = np.zeros((B, 2 * dr.C_CAP, 3), np.int32)
-        n_hash = np.zeros((B,), np.int32)
-        codes2 = np.zeros((B, codes_np.shape[1]), np.uint8)
-        blen2 = np.zeros((B,), np.int32)
-        rlen2 = np.zeros((B,), np.int32)
-        ok_rows = []
-        for b, (k, i) in enumerate(work):
-            chains = chains_by_read[i]
-            n_chains[b] = len(chains)
-            # anchor tables with pre links
-            amap = {}
-            overflow = False
-            for ci, c in enumerate(chains):
-                a = c.chain_anchor_cur
-                while a is not None and id(a) not in amap:
-                    if len(amap) >= dr.A_CAP:
-                        overflow = True
-                        break
-                    amap[id(a)] = (len(amap), a)
-                    a = a.chain_anchor_pre
-                if overflow:
-                    break
-            if overflow:
-                fallback_reads.add(i)
-                continue
-            for ai, a in amap.values():
-                pre = (amap[id(a.chain_anchor_pre)][0]
-                       if a.chain_anchor_pre is not None else -1)
-                anchors_a[b, ai] = (a.index_in_read, a.ref_offset,
-                                    a.mtch_len, pre)
-            for ci, c in enumerate(chains):
-                cur = (amap[id(c.chain_anchor_cur)][0]
-                       if c.chain_anchor_cur is not None else -1)
-                chains_a[b, ci] = (c.ref_id, c.direction, c.sum_score,
-                                  c.anchor_number, c.t_st, c.t_ed, c.q_st,
-                                  c.q_ed, c.indel, cur)
-            # sc_hash insertion order: chain asc, i in (1, 0)
-            e = 0
-            for ci, c in enumerate(chains):
-                for s_or_e in (1, 0):
-                    key = ((c.t_st - c.q_st) if s_or_e == 1
-                           else (c.t_ed - c.q_ed)) & 0xFF
-                    schash[b, e] = (key, ci, s_or_e)
-                    e += 1
-            n_hash[b] = e
-            row = rows[i]
-            rl = read_lens[i]
-            codes2[b] = codes_np[row]
-            blen2[b] = blen_np[row]
-            rlen2[b] = rl
-            ok_rows.append((b, i))
-
-        inp = dr.RescoreIn(
-            chains=jnp.asarray(chains_a), n_chains=jnp.asarray(n_chains),
-            anchors=jnp.asarray(anchors_a), schash=jnp.asarray(schash),
-            n_hash=jnp.asarray(n_hash),
-            codes_fr=jnp.asarray(codes2), buf_len=jnp.asarray(blen2),
-            read_len=jnp.asarray(rlen2))
-        dix = self.dix
-        chains_out, fb, _reason, _iters = dr.rescore_kernel(
-            inp, dix.ref_bin, dix.ref_off, dix.ref_len_arr,
-            n_bases=dix.n_bases)
-        chains_out = np.asarray(chains_out)
-        fb = np.asarray(fb)
-        out = {}
-        for b, i in ok_rows:
-            if fb[b]:
-                fallback_reads.add(i)
-            else:
-                out[i] = chains_out[b]
-        return out
 
     def classify_file(self, path):
         """Ordered read -> classify -> emit pipeline (the analogue of the

@@ -29,19 +29,28 @@ I32 = jnp.int32
 
 
 def pack_anchors(anchors, a_cnt, pack_cap: int):
-    """Compact per-lane anchor buffers into one flat (pack_cap, A_NF)
+    """Compact per-lane anchor buffers into one flat (pack_cap, A_NF+1)
     array on device: the tunnel downloads ~10 MB/s, so shipping the
     sparse (N, a_cap, A_NF) buffers dominated wall time. Returns
-    (packed, base, overflow) with base = exclusive prefix of a_cnt."""
+    (packed, base, overflow) with base = exclusive prefix of a_cnt.
+
+    A 13th column holds the per-island anchor_useless mark (score below
+    the island's top score, floor 35 — gold fast/slow_classify both mark
+    per island == per lane here), so downstream chaining never needs the
+    rows on host."""
     N, A, F = anchors.shape
     cnt = jnp.minimum(a_cnt, A)
-    base = jnp.cumsum(cnt) - cnt
     slot = jnp.arange(A, dtype=I32)[None, :]
     valid = slot < cnt[:, None]
+    top = jnp.max(jnp.where(valid, anchors[:, :, 1], 35),
+                  axis=1, initial=35)
+    useless = (anchors[:, :, 1] < top[:, None]).astype(I32)
+    anchors = jnp.concatenate([anchors, useless[:, :, None]], axis=2)
+    base = jnp.cumsum(cnt) - cnt
     dest = base[:, None] + slot
     ok = valid & (dest < pack_cap)
     dest_safe = jnp.where(ok, dest, pack_cap)
-    packed = jnp.zeros((pack_cap + 1, F), I32).at[dest_safe].set(anchors)
+    packed = jnp.zeros((pack_cap + 1, F + 1), I32).at[dest_safe].set(anchors)
     overflow = (base + cnt > pack_cap).any()
     return packed[:pack_cap], base, overflow
 
@@ -49,18 +58,38 @@ def pack_anchors(anchors, a_cnt, pack_cap: int):
 M_NF = 6
 
 
+def _compact(full_tree, rows_g):
+    return jax.tree.map(lambda f: f[rows_g], full_tree)
+
+
+def _scatter(full_tree, comp_tree, rows_s):
+    def scat(full, comp):
+        ext = jnp.concatenate([full, full[:1]], axis=0)
+        return ext.at[rows_s].set(comp)[:full.shape[0]]
+
+    return jax.tree.map(scat, full_tree, comp_tree)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("l_ek", "a_cap", "pack_cap"))
+                   static_argnames=("l_ek", "a_cap", "pack_cap", "bl"))
 def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
                 pre13_fr, q_mem, q_lv, ridx, base, read_len, direction, sid,
                 seed_off, seed_len, lane_on, *, l_ek: int, a_cap: int,
-                pack_cap: int):
+                pack_cap: int, bl: int | None = None):
     """Run the full fast ladder for every lane; returns
     (packed_anchors, a_base, a_cnt, skip_flag, pack_overflow) —
     skip_flag True where the island ended with max_score > 512 (drops
-    the NEXT island, applied on host)."""
+    the NEXT island, applied on host).
+
+    Each iteration compacts the still-active lanes to width bl before
+    the probe + map_seed work (gather/scatter of per-lane state): the
+    ladder's stride/break schedule makes occupancy decay fast, and the
+    probe cost is per-lane gathers, so the lockstep width is the lever.
+    Lanes beyond bl capacity run on later iterations."""
     N = ridx.shape[0]
-    lanes = jnp.arange(N, dtype=I32)
+    if bl is None:
+        bl = max(64, N // 4)
+    bl = min(bl, N)
     min_index = MIN_MEM_LEN_FAST - l_ek
 
     anchors = jnp.zeros((N, a_cap, A_NF), I32)
@@ -75,45 +104,60 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
 
     def body(st):
         active, j, spset, spcount, anchors, a_cnt, skip_flag = st
-        ki = seed_off + j
+        key = jnp.where(active, N - jnp.arange(N, dtype=I32), 0)
+        keyv, rws = jax.lax.top_k(key, bl)
+        valid = keyv > 0
+        rg = jnp.where(valid, rws, 0).astype(I32)
+        full = (active, j, spset, spcount, anchors, a_cnt, skip_flag,
+                ridx, base, read_len, direction, sid, seed_off)
+        (act_c, j_c, sps_c, spc_c, an_c, ac_c, skip_c, ridx_c, base_c,
+         rl_c, dir_c, sid_c, soff_c) = _compact(full, rg)
+        act_c = act_c & valid
+
+        ki = soff_c + j_c
         str_idx = ki + l_ek - 1
-        pre_v = pre13_fr[ridx, jnp.clip(base + ki, 0, pre13_fr.shape[1] - 1)]
+        pre_v = pre13_fr[ridx_c,
+                         jnp.clip(base_c + ki, 0, pre13_fr.shape[1] - 1)]
         pre_v = pre_v & jnp.int32(PRE_IDX_MASK)
         out = dev_fm.mem_probe.__wrapped__(
             fm_blocks, ixr.lfc, rank6, hash13, codes_fr,
-            str_idx, pre_v, active, spset, spcount,
-            MEM_SEARCH_FAST, MIN_MEM_LEN_FAST - 1, col_off=base,
-            row_idx=ridx)
-        (r_len, r_sp, r_sa, r_sa_ok, r_sa_l, r_valid, spset, spcount) = out
-        has_mem = r_valid.any(axis=1) & active
+            str_idx, pre_v, act_c, sps_c, spc_c,
+            MEM_SEARCH_FAST, MIN_MEM_LEN_FAST - 1, col_off=base_c,
+            row_idx=ridx_c)
+        (r_len, r_sp, r_sa, r_sa_ok, r_sa_l, r_valid, sps_c, spc_c) = out
+        has_mem = r_valid.any(axis=1) & act_c
 
-        max_score = jnp.zeros((N,), I32)
+        max_score = jnp.zeros((bl,), I32)
 
         def map_body(k, carry):
-            anchors, a_cnt, max_score = carry
+            an_c, ac_c, max_score = carry
             dx = lambda a: jax.lax.dynamic_index_in_dim(a, k, 1, False)
-            mk = active & dx(r_valid)
+            mk = act_c & dx(r_valid)
             q_off = str_idx - dx(r_len)
-            anchors, a_cnt, ms = map_seed_lanes(
-                ixr, codes_fr, buf_len, q_mem, q_lv, ridx, base, read_len,
-                direction, sid, dx(r_sp).astype(I32), dx(r_len),
+            an_c, ac_c, ms = map_seed_lanes(
+                ixr, codes_fr, buf_len, q_mem, q_lv, ridx_c, base_c, rl_c,
+                dir_c, sid_c, dx(r_sp).astype(I32), dx(r_len),
                 dx(r_sa_ok), dx(r_sa).astype(I32), dx(r_sa_l), q_off,
-                mk, anchors, a_cnt, a_cap=a_cap)
+                mk, an_c, ac_c, a_cap=a_cap)
             max_score = jnp.where(mk, jnp.maximum(max_score, ms), max_score)
-            return anchors, a_cnt, max_score
+            return an_c, ac_c, max_score
 
-        anchors, a_cnt, max_score = jax.lax.fori_loop(
-            0, MEM_SEARCH_FAST, map_body, (anchors, a_cnt, max_score))
+        an_c, ac_c, max_score = jax.lax.fori_loop(
+            0, MEM_SEARCH_FAST, map_body, (an_c, ac_c, max_score))
 
-        j2 = jnp.where(active,
+        j2 = jnp.where(act_c,
                        jnp.where(has_mem,
-                                 j - 3 - jnp.where(max_score > 35, 7, 0),
-                                 j - 2),
-                       j)
-        brk = active & (max_score > 256)
-        skip_flag = skip_flag | (active & (max_score > 512))
-        active2 = active & ~brk & (j2 >= min_index)
-        return active2, j2, spset, spcount, anchors, a_cnt, skip_flag
+                                 j_c - 3 - jnp.where(max_score > 35, 7, 0),
+                                 j_c - 2),
+                       j_c)
+        brk = act_c & (max_score > 256)
+        skip_c = skip_c | (act_c & (max_score > 512))
+        act2_c = act_c & ~brk & (j2 >= min_index)
+
+        rows_s = jnp.where(valid, rws, N).astype(I32)
+        mut_full = (active, j, spset, spcount, anchors, a_cnt, skip_flag)
+        mut_comp = (act2_c, j2, sps_c, spc_c, an_c, ac_c, skip_c)
+        return _scatter(mut_full, mut_comp, rows_s)
 
     st = (active, j, spset, spcount, anchors, a_cnt, skip_flag)
     st = jax.lax.while_loop(cond, body, st)
@@ -123,16 +167,22 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("l_ek", "a_cap", "m_cap", "pack_cap"))
+                   static_argnames=("l_ek", "a_cap", "m_cap", "pack_cap",
+                                    "bl"))
 def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
                 pre13_fr, q_mem, q_lv, ridx, base, read_len, direction, sid,
                 seed_off, seed_len, lane_on, *, l_ek: int, a_cap: int,
-                m_cap: int, pack_cap: int):
+                m_cap: int, pack_cap: int, bl: int | None = None):
     """Slow-mode ladder: collect all MEMs (stride 2), sort by match_len
     desc, map the first 8. Returns
-    (packed_anchors, a_base, a_cnt, mem_overflow, pack_overflow)."""
+    (packed_anchors, a_base, a_cnt, mem_overflow, pack_overflow).
+    Active lanes are compacted to width bl per iteration (see
+    fast_ladder)."""
     N = ridx.shape[0]
-    lanes = jnp.arange(N, dtype=I32)
+    if bl is None:
+        bl = max(64, N // 4)
+    bl = min(bl, N)
+    lanes_c = jnp.arange(bl, dtype=I32)
     min_match_len = min(MIN_MEM_LEN_SLOW - 1, l_ek + 1)
 
     spset, spcount = dev_fm.spset_init(N)
@@ -146,39 +196,55 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
 
     def body(st):
         active, j, spset, spcount, mems, m_cnt = st
-        ki = seed_off + j
+        key = jnp.where(active, N - jnp.arange(N, dtype=I32), 0)
+        keyv, rws = jax.lax.top_k(key, bl)
+        valid = keyv > 0
+        rg = jnp.where(valid, rws, 0).astype(I32)
+        full = (active, j, spset, spcount, mems, m_cnt,
+                ridx, base, seed_off)
+        (act_c, j_c, sps_c, spc_c, mem_c, mc_c, ridx_c, base_c,
+         soff_c) = _compact(full, rg)
+        act_c = act_c & valid
+
+        ki = soff_c + j_c
         str_idx = ki + l_ek - 1
-        pre_v = pre13_fr[ridx, jnp.clip(base + ki, 0, pre13_fr.shape[1] - 1)]
+        pre_v = pre13_fr[ridx_c,
+                         jnp.clip(base_c + ki, 0, pre13_fr.shape[1] - 1)]
         pre_v = pre_v & jnp.int32(PRE_IDX_MASK)
         out = dev_fm.mem_probe.__wrapped__(
             fm_blocks, ixr.lfc, rank6, hash13, codes_fr,
-            str_idx, pre_v, active, spset, spcount,
-            MEM_SEARCH_SLOW, min_match_len, col_off=base, row_idx=ridx)
-        (r_len, r_sp, r_sa, r_sa_ok, r_sa_l, r_valid, spset, spcount) = out
+            str_idx, pre_v, act_c, sps_c, spc_c,
+            MEM_SEARCH_SLOW, min_match_len, col_off=base_c, row_idx=ridx_c)
+        (r_len, r_sp, r_sa, r_sa_ok, r_sa_l, r_valid, sps_c, spc_c) = out
 
         def coll_body(k, carry):
-            mems, m_cnt = carry
+            mem_c, mc_c = carry
             dx = lambda a: jax.lax.dynamic_index_in_dim(a, k, 1, False)
-            take = active & dx(r_valid)
+            take = act_c & dx(r_valid)
             rec = jnp.stack([
                 dx(r_len), dx(r_sp).astype(I32), dx(r_sa).astype(I32),
                 dx(r_sa_ok).astype(I32), dx(r_sa_l), str_idx], axis=1)
-            slot = jnp.minimum(m_cnt, m_cap - 1)
-            write = take & (m_cnt < m_cap)
-            mems = mems.at[lanes, slot].set(
-                jnp.where(write[:, None], rec, mems[lanes, slot]))
-            m_cnt = jnp.where(take, m_cnt + 1, m_cnt)
-            return mems, m_cnt
+            slot = jnp.minimum(mc_c, m_cap - 1)
+            write = take & (mc_c < m_cap)
+            mem_c = mem_c.at[lanes_c, slot].set(
+                jnp.where(write[:, None], rec, mem_c[lanes_c, slot]))
+            mc_c = jnp.where(take, mc_c + 1, mc_c)
+            return mem_c, mc_c
 
-        mems, m_cnt = jax.lax.fori_loop(0, MEM_SEARCH_SLOW, coll_body,
-                                        (mems, m_cnt))
-        j2 = jnp.where(active, j - 2, j)
-        active2 = active & (j2 >= 1)
-        return active2, j2, spset, spcount, mems, m_cnt
+        mem_c, mc_c = jax.lax.fori_loop(0, MEM_SEARCH_SLOW, coll_body,
+                                        (mem_c, mc_c))
+        j2 = jnp.where(act_c, j_c - 2, j_c)
+        act2_c = act_c & (j2 >= 1)
+
+        rows_s = jnp.where(valid, rws, N).astype(I32)
+        mut_full = (active, j, spset, spcount, mems, m_cnt)
+        mut_comp = (act2_c, j2, sps_c, spc_c, mem_c, mc_c)
+        return _scatter(mut_full, mut_comp, rows_s)
 
     st = (active, j, spset, spcount, mems, m_cnt)
     st = jax.lax.while_loop(cond, body, st)
     _, _, _, _, mems, m_cnt = st
+    lanes = jnp.arange(N, dtype=I32)
     overflow = m_cnt > m_cap
 
     # stable sort by match_len desc (gold _qsort_by_match_len)

@@ -106,22 +106,43 @@ def _ref_chars(ref_bin, n_bases, offset, width):
     return jnp.where(idx >= n_bases, last, win)
 
 
+RK_COARSE = 64   # coarse sample points per (read, dir) k-mer table
+
+
 def _searchsorted_rows(vals, dslot, n_valid, queries, side_left: bool,
-                       row_map=None):
+                       row_map=None, coarse=None):
     """Per-row binary search: vals (B, 2, K) sorted along axis 2, row
     selected by row_map (N,) (identity when None) then dslot (N,);
     queries (N, P). The direction select stays inside the gather so no
     (N, K) row is ever materialized.
 
+    With `coarse` ((B, 2, RK_COARSE) strided samples of vals, from
+    _build_rk_tables), the search first locates a stride-wide bucket by
+    an ELEMENTWISE compare against the per-lane coarse row (one
+    RK_COARSE-gather per lane instead of a gather per query per step),
+    then binary-searches only within the bucket: ~6 vs ~13 gather steps
+    per query at demo read lengths.
+
     Returns (N, P) insertion points within [0, n_valid]."""
     K = vals.shape[2]
-    lo = jnp.zeros(queries.shape, I32)
-    hi = jnp.broadcast_to(n_valid[:, None], queries.shape).astype(I32)
-    steps = int(K).bit_length() + 1
     if row_map is None:
         row_map = jnp.arange(queries.shape[0], dtype=I32)
     rows = row_map[:, None]
     dcol = dslot[:, None]
+    if coarse is None:
+        lo = jnp.zeros(queries.shape, I32)
+        hi = jnp.broadcast_to(n_valid[:, None], queries.shape).astype(I32)
+        steps = int(K).bit_length() + 1
+    else:
+        stride = (K + RK_COARSE - 1) // RK_COARSE
+        crow = coarse[row_map, dslot]                      # (N, RK_COARSE)
+        lt = (crow[:, None, :] < queries[:, :, None] if side_left
+              else crow[:, None, :] <= queries[:, :, None])
+        cnt = jnp.sum(lt, axis=2).astype(I32)              # (N, P)
+        lo = jnp.maximum((cnt - 1) * stride + 1, 0)
+        hi = jnp.minimum(cnt * stride, n_valid[:, None]).astype(I32)
+        lo = jnp.minimum(lo, hi)
+        steps = int(stride).bit_length() + 1
     for _ in range(steps):
         cont = lo < hi
         mid = (lo + hi) >> 1
@@ -257,7 +278,12 @@ def _build_rk_tables(codes_fr, read_len):
     r_sorted = jnp.take_along_axis(rev_vals, r_ord, axis=1)
     vals = jnp.stack([r_sorted, f_sorted], axis=1)   # axis1: 0=REV, 1=FWD
     pos = jnp.stack([r_ord, f_ord], axis=1)
-    return vals, pos
+    stride = (K + RK_COARSE - 1) // RK_COARSE
+    coarse = vals[:, :, ::stride]
+    coarse = jnp.pad(coarse, ((0, 0), (0, 0),
+                              (0, RK_COARSE - coarse.shape[2])),
+                     constant_values=np.iinfo(np.int32).max)
+    return vals, pos, coarse
 
 
 class VMState(NamedTuple):
@@ -683,10 +709,11 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
         wk = (wk << 2) | jnp.pad(w32[:, k:], ((0, 0), (0, k)))
     pv = wk[lanes[:, None], jnp.clip(t0[:, None] + tpos, 0, W_CAP - 1)]
     dslot = jnp.clip(chain_dir, 0, 1)
-    rkv, rkp = rk_tables
+    rkv, rkp, rkc = rk_tables
     K_rk = rkv.shape[2]
     rkn = jnp.where(l_read >= K9, l_read - K9 + 1, 0)
-    lo = _searchsorted_rows(rkv, dslot, rkn, pv, True, row_map=rows)
+    lo = _searchsorted_rows(rkv, dslot, rkn, pv, True, row_map=rows,
+                            coarse=rkc)
     # hi via forward scan: multiplicities are tiny (<= H_CAP), so H_CAP+1
     # gathers beat a second 14-step binary search
     run_eq = jnp.ones(lo.shape, bool)
@@ -837,10 +864,10 @@ PROC_PER_ITER = 16
 MAX_ITERS = 4096  # safety: lanes still live at the cap fall back to host
 
 
-@functools.partial(jax.jit, static_argnames=("n_bases", "bf", "bp"))
+@functools.partial(jax.jit, static_argnames=("n_bases", "bf", "bp", "pp"))
 def rescore_kernel(inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
                    n_bases: int, bf: int | None = None,
-                   bp: int | None = None):
+                   bp: int | None = None, pp: int = PROC_PER_ITER):
     """Run get_score_m2 for every read lane. Returns (chains, fallback).
 
     bf/bp: static compact widths for the window-fetch / node-processing
@@ -883,8 +910,7 @@ def rescore_kernel(inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
         st_c = jax.tree.map(lambda f: f[prows_g], st)
         st_c = st_c._replace(fallback=st_c.fallback | ~pvalid)
         st_c = jax.lax.fori_loop(
-            0, PROC_PER_ITER, lambda _k, s: _proc_micro(s, inp, prows_g),
-            st_c)
+            0, pp, lambda _k, s: _proc_micro(s, inp, prows_g), st_c)
         prows_s = jnp.where(pvalid, prows, B).astype(I32)
 
         def scat(full, comp):

@@ -33,24 +33,27 @@ print('B =', B, 'platform =', jax.devices()[0].platform)
 
 def parse(a):
     if ':' in a:
-        f, p = a.split(':')
-        return int(f), int(p)
-    return int(a), None
+        parts = [int(x) for x in a.split(':')]
+        return tuple(parts) + (None,) * (3 - len(parts))
+    return int(a), None, None
 
 
-grid = [parse(a) for a in sys.argv[1:] if a[0].isdigit()] or [(None, None)]
+grid = ([parse(a) for a in sys.argv[1:] if a[0].isdigit()]
+        or [(None, None, None)])
 ref_out = None
-for bf, bp in grid:
+for bf, bp, pp in grid:
+    kw = {} if pp is None else {'pp': pp}
     t0 = time.time()
     out = jax.block_until_ready(dr.rescore_kernel(
-        inp, ref_bin, ref_off, ref_len_arr, n_bases=n_bases, bf=bf, bp=bp))
+        inp, ref_bin, ref_off, ref_len_arr, n_bases=n_bases, bf=bf, bp=bp,
+        **kw))
     t_compile = time.time() - t0
     times = []
     for _ in range(3):
         t0 = time.time()
         out = jax.block_until_ready(dr.rescore_kernel(
             inp, ref_bin, ref_off, ref_len_arr, n_bases=n_bases, bf=bf,
-            bp=bp))
+            bp=bp, **kw))
         times.append(time.time() - t0)
     chains, fb, reason, iters = out
     if ref_out is None:
@@ -59,7 +62,7 @@ for bf, bp in grid:
     else:
         match = bool((np.asarray(chains) == ref_out[0]).all()
                      and (np.asarray(fb) == ref_out[1]).all())
-    print(f'bf={bf} bp={bp}: wall={min(times):.3f}s '
+    print(f'bf={bf} bp={bp} pp={pp}: wall={min(times):.3f}s '
           f'(first={t_compile:.1f}s) iters={int(iters)} '
           f'fallbacks={int(np.asarray(fb).sum())} match={match}',
           flush=True)
