@@ -117,10 +117,8 @@ class DeviceClassifier:
                 strands[2 * k + 1, :rl] = b[rl:]
                 lens[2 * k] = lens[2 * k + 1] = rl
             # bit-pack on device: the tunnel downloads ~10 MB/s
-            packed = np.asarray(_bloom_packed(
-                jnp.asarray(strands), jnp.asarray(lens), self.dix.ekmer0,
-                self.dix.ekmer1, l_ek, idx.single_base_max,
-                self.dix.mask_bits))
+            packed = np.asarray(self._k_bloom(
+                jnp.asarray(strands), jnp.asarray(lens)))
             got = np.unpackbits(packed, axis=1).astype(bool)
             for k, i in enumerate(grp):
                 nk = len(bufs[i]) // 2 - l_ek + 1
@@ -184,14 +182,13 @@ class DeviceClassifier:
                 skip_all[j] = bool(skip[k])
             packed_all.append(packed)
             offset += packed.shape[0]
-            ovf = ovf or bool(povf)
+            ovf = ovf or bool(np.any(povf))
         packed_dev = (packed_all[0] if len(packed_all) == 1
                       else jnp.concatenate(packed_all, axis=0))
         return [packed_dev, base_all, acnt_all, skip_all, ovf]
 
     def _run_ladder_group(self, kind, lanes, codes_fr, buf_len, pre13,
                           read_lens):
-        dix = self.dix
         N = len(lanes)
         NB = _bucket(N)
         cols = np.zeros((6, NB), np.int32)
@@ -201,24 +198,54 @@ class DeviceClassifier:
         rlv[:N] = [read_lens[l[0]] for l in lanes]
         on = np.zeros((NB,), bool)
         on[:N] = True
-        args = (self.ixr, dix.fm_blocks, dix.rank, dix.hash13, codes_fr,
-                buf_len, pre13, dix.q_mem, dix.q_lv,
-                jnp.asarray(cols[0]), jnp.asarray(cols[1]), jnp.asarray(rlv),
-                jnp.asarray(cols[2]), jnp.asarray(cols[3]),
-                jnp.asarray(cols[4]), jnp.asarray(cols[5]), jnp.asarray(on))
-        bl = min(128, NB)  # measured optimum on the demo (tools/ladder_replay:
-        # 128≈256 beat N/4; 64 stalls the probe pipeline)
-        if kind == "fast":
-            out = fast_ladder(*args, l_ek=self.idx.len_e_kmer, a_cap=A_CAP,
-                              pack_cap=2 * NB, bl=bl)
-        else:
-            out = slow_ladder(*args, l_ek=self.idx.len_e_kmer, a_cap=A_CAP,
-                              m_cap=M_CAP, pack_cap=2 * NB, bl=bl)
+        lane_args = (jnp.asarray(cols[0]), jnp.asarray(cols[1]),
+                     jnp.asarray(rlv), jnp.asarray(cols[2]),
+                     jnp.asarray(cols[3]), jnp.asarray(cols[4]),
+                     jnp.asarray(cols[5]), jnp.asarray(on))
+        out = self._k_ladder(kind, codes_fr, buf_len, pre13, lane_args, NB)
         # anchor rows stay in HBM; only the small per-lane vectors land
         # on host (the pack download was a round-1 bottleneck)
         packed = out[0]
         rest = [np.asarray(x) for x in jax.block_until_ready(out[1:])]
-        return [packed] + rest
+        base, acnt, skip, povf = rest
+        base = self._globalize_base(base, NB)
+        return [packed, base, acnt, skip, povf]
+
+    # ---- kernel indirection (overridden by parallel.MeshClassifier) ------
+    def _k_bloom(self, strands, lens):
+        return _bloom_packed(strands, lens, self.dix.ekmer0,
+                             self.dix.ekmer1, self.idx.len_e_kmer,
+                             self.idx.single_base_max, self.dix.mask_bits)
+
+    def _k_ladder(self, kind, codes_fr, buf_len, pre13, lane_args, NB):
+        dix = self.dix
+        args = (self.ixr, dix.fm_blocks, dix.rank, dix.hash13, codes_fr,
+                buf_len, pre13, dix.q_mem, dix.q_lv, *lane_args)
+        bl = min(128, NB)  # measured optimum on the demo (tools/ladder_replay:
+        # 128~=256 beat N/4; 64 stalls the probe pipeline)
+        if kind == "fast":
+            return fast_ladder(*args, l_ek=self.idx.len_e_kmer, a_cap=A_CAP,
+                               pack_cap=2 * NB, bl=bl)
+        return slow_ladder(*args, l_ek=self.idx.len_e_kmer, a_cap=A_CAP,
+                           m_cap=M_CAP, pack_cap=2 * NB, bl=bl)
+
+    def _globalize_base(self, base, NB):
+        # single device: ladder pack offsets are already global
+        return base
+
+    def _k_chain(self, packed, gidx, nanc):
+        return dc.chain_step(packed, jnp.asarray(gidx), jnp.asarray(nanc))
+
+    def _k_prep(self, sel, chs3, ns3, pre3, anc3):
+        return dc.prep_rescore(jnp.asarray(sel), chs3, ns3, pre3, anc3)
+
+    def _k_rescore(self, inp):
+        dix = self.dix
+        B_pad = inp.n_chains.shape[0]
+        return dr.rescore_kernel(
+            inp, dix.ref_bin, dix.ref_off, dix.ref_len_arr,
+            n_bases=dix.n_bases, bf=max(64, B_pad // 13 // 32 * 32),
+            bp=max(64, B_pad // 10 // 32 * 32), pp=8)
 
     def _run_fast(self, lanes, codes_fr, buf_len, pre13, read_lens):
         return self._run_ladder("fast", lanes, codes_fr, buf_len, pre13,
@@ -344,7 +371,7 @@ class DeviceClassifier:
                 return zero_set, np.zeros((B_pad,), np.int32), \
                     np.zeros((B_pad, 2), np.int32), \
                     np.zeros((B_pad,), bool)
-            out = dc.chain_step(packed, jnp.asarray(gidx), jnp.asarray(nanc))
+            out = self._k_chain(packed, gidx, nanc)
             ch, n, pre, ovf, anc3 = out
             n_h = np.asarray(n)
             dec = np.asarray(ch[:, 0, (dc.H_ANUM, dc.H_SUM)])
@@ -468,18 +495,14 @@ class DeviceClassifier:
         ns3 = jnp.stack([set_f[1], set_s0[1], set_s1[1]])
         pre3 = jnp.stack([set_f[2], set_s0[2], set_s1[2]])
         anc3 = jnp.stack([set_f[4], set_s0[4], set_s1[4]])
-        chains_rc, n_rc, anchors4, schash, n_hash, over = dc.prep_rescore(
-            jnp.asarray(sel_np), chs3, ns3, pre3, anc3)
+        chains_rc, n_rc, anchors4, schash, n_hash, over = self._k_prep(
+            sel_np, chs3, ns3, pre3, anc3)
         n_rc = jnp.where(jnp.asarray(live_np), n_rc, 0)
         inp = dr.RescoreIn(
             chains=chains_rc, n_chains=n_rc, anchors=anchors4,
             schash=schash, n_hash=n_hash, codes_fr=codes_fr,
             buf_len=buf_len, read_len=jnp.asarray(rlen_np))
-        dix = self.dix
-        chains_out, fb, _reason, _iters = dr.rescore_kernel(
-            inp, dix.ref_bin, dix.ref_off, dix.ref_len_arr,
-            n_bases=dix.n_bases, bf=max(64, B_pad // 13 // 32 * 32),
-            bp=max(64, B_pad // 10 // 32 * 32), pp=8)
+        chains_out, fb, _reason, _iters = self._k_rescore(inp)
         chains_h = np.asarray(chains_out)
         fb_h = np.asarray(fb)
         n_h = np.asarray(n_rc)

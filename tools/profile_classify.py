@@ -45,24 +45,28 @@ def wrap(obj, name, key=None):
 
 wrap(DeviceClassifier, '_islands')
 wrap(DeviceClassifier, '_run_ladder_group', 'ladder_device')
-wrap(DeviceClassifier, '_device_rescore_part', 'rescore_marshal+device')
-
-_cg = DeviceClassifier._collect_group
-
-
-def _cg_timed(*a, **kw):
-    t0 = time.perf_counter()
-    r = _cg(*a, **kw)
-    T['host_collect'] = T.get('host_collect', 0) + time.perf_counter() - t0
-    return r
-
-
-DeviceClassifier._collect_group = staticmethod(_cg_timed)
 
 import desamba_tpu.engine.device.classifier as C
+import desamba_tpu.engine.device.chain as dchain_mod
 import desamba_tpu.engine.device.rescore as dr_mod
 import desamba_tpu.engine.gold.chain as chain_mod
 import desamba_tpu.engine.gold.rescore as resc_mod
+
+for _nm in ('chain_step', 'prep_rescore'):
+    _orig = getattr(dchain_mod, _nm)
+
+    def _mk_dev(orig, nm):
+        def f(*a, **kw):
+            t0 = time.perf_counter()
+            import jax as _j
+            r = _j.block_until_ready(orig(*a, **kw))
+            T[nm + '_device'] = (T.get(nm + '_device', 0)
+                                 + time.perf_counter() - t0)
+            return r
+        return f
+    setattr(dchain_mod, _nm, _mk_dev(_orig, _nm))
+C.dc.chain_step = dchain_mod.chain_step
+C.dc.prep_rescore = dchain_mod.prep_rescore
 
 _rk = dr_mod.rescore_kernel
 
@@ -91,8 +95,7 @@ def _bp_timed(*a, **kw):
 
 C._bloom_packed = _bp_timed
 
-for mod, fn in ((chain_mod, 'resolve_tree'),
-                (resc_mod, 'post_rescore_finish'),
+for mod, fn in ((resc_mod, 'post_rescore_finish'),
                 (resc_mod, 'detect_primary')):
     orig = getattr(mod, fn)
 
