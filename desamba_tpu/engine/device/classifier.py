@@ -22,8 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ...constants import FORWARD, MIN_READ_LEN, REVERSE
+from ...constants import (FORWARD, MIN_READ_LEN, REVERSE,
+                           SEED_RANGE, STEP_EK)
 from ...index.kmers import CLY_BIT
+from ...io import native
 from ..gold.classify import ClassifyEngine, Options, ReadResult, StreamState
 from ..gold.islands import SearchDir, mark_top
 from ..gold.chain import Chain
@@ -125,6 +127,19 @@ class DeviceClassifier:
                 hits[2 * i, :nk] = got[2 * k, :nk]
                 hits[2 * i + 1, :nk] = got[2 * k + 1, :nk]
 
+        seg = None
+        if native.available():
+            # one C call segments + top-marks every strand (the serial
+            # phase-chained walk was the last per-read host hot loop)
+            n_k_a = np.zeros((2 * B,), np.int32)
+            dirs_a = np.zeros((2 * B,), np.int32)
+            for i, seq in enumerate(seqs):
+                n_k_a[2 * i] = n_k_a[2 * i + 1] = len(seq) - l_ek + 1
+                dirs_a[2 * i] = FORWARD
+                dirs_a[2 * i + 1] = REVERSE
+            seg = native.islands_batch(hits.view(np.uint8), n_k_a, dirs_a,
+                                       STEP_EK, SEED_RANGE)
+
         out = []
         for i, (seq, buf) in enumerate(zip(seqs, bufs)):
             read_len = len(seq)
@@ -134,9 +149,15 @@ class DeviceClassifier:
                     ((0, FORWARD), (read_len, REVERSE))):
                 bin_read = buf[base : base + read_len]
                 hit = hits[2 * i + si, :n_kmers]
-                # run-based walk == gold search_islands (tested parity)
-                seeds = segment_islands(hit, n_kmers, direction)
-                total = mark_top(seeds, n_kmers, direction)
+                if seg is not None:
+                    rows_s, offs, counts, totals = seg
+                    o = int(offs[2 * i + si])
+                    seeds = rows_s[o : o + int(counts[2 * i + si])]
+                    total = int(totals[2 * i + si])
+                else:
+                    # run-based walk == gold search_islands (tested parity)
+                    seeds = segment_islands(hit, n_kmers, direction)
+                    total = mark_top(seeds, n_kmers, direction)
                 dirs.append(SearchDir(seeds, bin_read, hit, direction, total,
                                       buf, base))
             if dirs[0].total_score < dirs[1].total_score:
@@ -412,7 +433,7 @@ class DeviceClassifier:
             if run_slow:
                 results[i].fast = False
                 sd = dirs[0]
-                first_top = bool(sd.seeds[0][2]) if sd.seeds else False
+                first_top = bool(sd.seeds[0][2]) if len(sd.seeds) else False
                 ids = []
                 for sid, s in enumerate(sd.seeds):
                     if s[1] < 3 and not first_top:
@@ -445,7 +466,7 @@ class DeviceClassifier:
             dirs, both = island_info[k]
             if both or int(n_s0[r]) == 0 or int(dec_s0[r, 0]) < 5:
                 sd = dirs[1]
-                first_top = bool(sd.seeds[0][2]) if sd.seeds else False
+                first_top = bool(sd.seeds[0][2]) if len(sd.seeds) else False
                 ids = []
                 for sid, s in enumerate(sd.seeds):
                     if s[1] < 3 and not first_top:

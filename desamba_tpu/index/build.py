@@ -128,7 +128,37 @@ def _popcount4(x: np.ndarray) -> np.ndarray:
     return (x & 1) + ((x >> 1) & 1) + ((x >> 2) & 1) + ((x >> 3) & 1)
 
 
+def _check_memory_budget(fasta_path: str):
+    """Fail fast with a clear message instead of OOMing mid-build.
+
+    The array-parallel build peaks at ~285 bytes per reference base
+    (measured: 64 MB genome -> 18.1 GB peak RSS, BASELINE.md scale
+    table; the k-mer value/argsort passes materialize ~30 full-length
+    int64 arrays). The reference's own envelope is
+    ~4.5 bytes/base at the jellyfish stage + 160 GB for RefSeq-"all"
+    (README.md:50); a streamed/sharded build is the documented follow-up
+    for genomes beyond one host's RAM."""
+    import os
+
+    size = os.path.getsize(fasta_path)
+    need = int(size * 300)
+    try:
+        with open("/proc/meminfo") as f:
+            avail_kb = next(int(line.split()[1]) for line in f
+                            if line.startswith("MemAvailable:"))
+        avail = avail_kb * 1024
+    except (OSError, StopIteration):
+        return
+    if need > avail:
+        raise MemoryError(
+            f"index build of {fasta_path} ({size / 1e9:.1f} GB) needs "
+            f"~{need / 1e9:.0f} GB RAM but only {avail / 1e9:.0f} GB is "
+            f"available; split the FASTA and build per-shard indexes "
+            f"(classify-time sharding: desamba_tpu.parallel)")
+
+
 def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
+    _check_memory_budget(fasta_path)
     names, lens, raw_codes = _read_reference(fasta_path)
     if not names:
         raise ValueError(f"{fasta_path}: no sequences")

@@ -1,8 +1,8 @@
-"""ctypes binding for the native FASTX reader/encoder (csrc/fastx.c).
+"""ctypes bindings for the native runtime (csrc/fastx.c, csrc/islands.c).
 
-Builds the shared library on first use (cc -O3, cached beside a source
+Builds one shared library on first use (cc -O3, cached beside a source
 hash); falls back cleanly if no compiler is available — callers check
-`available()` and use the pure-python io.fastx path otherwise.
+`available()` and use the pure-python paths otherwise.
 """
 from __future__ import annotations
 
@@ -14,19 +14,24 @@ import tempfile
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "csrc", "fastx.c")
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "csrc")
+_SRCS = [os.path.join(_CSRC, "fastx.c"), os.path.join(_CSRC, "islands.c")]
 _LIB = None
 _TRIED = False
 
 
 def _build():
-    with open(_SRC, "rb") as f:
-        tag = hashlib.sha1(f.read()).hexdigest()[:12]
-    so = os.path.join(tempfile.gettempdir(), f"libdesfastx_{tag}.so")
+    h = hashlib.sha1()
+    for src in _SRCS:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:12]
+    so = os.path.join(tempfile.gettempdir(), f"libdesnative_{tag}.so")
     if not os.path.exists(so):
         subprocess.run(
-            ["cc", "-O3", "-shared", "-fPIC", "-o", so + ".tmp", _SRC, "-lz"],
+            ["cc", "-O3", "-shared", "-fPIC", "-o", so + ".tmp", *_SRCS,
+             "-lz"],
             check=True, capture_output=True)
         os.replace(so + ".tmp", so)
     lib = ctypes.CDLL(so)
@@ -41,6 +46,11 @@ def _build():
     lib.fastx_encode_batch.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p]
+    lib.islands_batch.restype = ctypes.c_int64
+    lib.islands_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     return lib
 
 
@@ -113,3 +123,32 @@ def encode_batch(seq_bytes: bytes, lens: np.ndarray, pad_len: int):
         seq_bytes, lens.astype(np.int64).ctypes.data_as(ctypes.c_void_p),
         n, pad_len, out.ctypes.data_as(ctypes.c_void_p))
     return out
+
+
+def islands_batch(hits: np.ndarray, n_kmers: np.ndarray, dirs: np.ndarray,
+                  step_ek: int, seed_range: int):
+    """Segment + mark_top every strand's hit row in one native call.
+
+    hits: (S, W) uint8 0/1 rows; n_kmers, dirs: (S,) int32.
+    Returns (seeds (n,3) int32, offs (S,) int64, counts (S,) int64,
+    totals (S,) int64). See csrc/islands.c.
+    """
+    assert available()
+    S, W = hits.shape
+    hits = np.ascontiguousarray(hits, dtype=np.uint8)
+    n_kmers = np.ascontiguousarray(n_kmers, dtype=np.int32)
+    dirs = np.ascontiguousarray(dirs, dtype=np.int32)
+    cap = max(1024, int(n_kmers.clip(min=0).sum() // 3) + 64 * S)
+    for _ in range(2):
+        out = np.empty((cap, 3), np.int32)
+        offs = np.empty((S,), np.int64)
+        counts = np.empty((S,), np.int64)
+        totals = np.empty((S,), np.int64)
+        need = _LIB.islands_batch(
+            hits.ctypes.data, hits.strides[0], n_kmers.ctypes.data,
+            dirs.ctypes.data, S, step_ek, seed_range, out.ctypes.data,
+            cap, offs.ctypes.data, counts.ctypes.data, totals.ctypes.data)
+        if need <= cap:
+            return out, offs, counts, totals
+        cap = int(need) + 64
+    raise RuntimeError("islands_batch buffer sizing failed")
