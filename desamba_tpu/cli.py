@@ -93,22 +93,58 @@ def cmd_analysis(args):
     run_analysis(args.mode, args.args)
 
 
+def read_jellyfish_dump(path: str, k: int):
+    """Parse a Jellyfish binary dump (JFLISTDN, the format the reference
+    kmersort ingests, src/idx_sort.c:30-47): 8-byte magic, key_bits at
+    offset 8, val_len at 16, key count at 48, header size
+    72 + 2*(4 + 8*key_bits), then key_ct (key_len + val_len)-byte pairs
+    with the k-mer little-endian in the first key_len bytes."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        head = f.read(56)
+        if head[:8] != b"JFLISTDN":
+            raise ValueError(f"{path}: not a Jellyfish JFLISTDN dump")
+        key_bits = int.from_bytes(head[8:16], "little")
+        val_len = int.from_bytes(head[16:24], "little")
+        key_ct = int.from_bytes(head[48:56], "little")
+        if val_len != 4:
+            raise ValueError("can only handle 4 byte DB values")
+        if key_bits != 2 * k:
+            raise ValueError(f"dump has {key_bits // 2}-mers, expected {k}")
+        key_len = key_bits // 8 + (1 if key_bits % 8 else 0)
+        h_size = 72 + 2 * (4 + 8 * key_bits)
+        f.seek(h_size)
+        raw = np.fromfile(f, np.uint8,
+                          key_ct * (key_len + val_len))
+    pairs = raw.reshape(key_ct, key_len + val_len)
+    keys = np.zeros((key_ct, 8), np.uint8)
+    keys[:, :key_len] = pairs[:, :key_len]
+    return keys.view(np.uint64).ravel()
+
+
 def cmd_kmersort(args):
     """Sorted unique k-mer dump, byte-compatible with the reference's
-    `kmersort` output (src/idx_sort.c): [u64 count][u64 kmers...]."""
+    `kmersort` output (src/idx_sort.c): [u64 count][u64 kmers...].
+    Counts k-mers from the FASTA directly (the Jellyfish replacement) or
+    ingests a Jellyfish JFLISTDN dump via --jf."""
     import numpy as np
 
     from .index.kmers import BIT, rolling_kmers
     from .io.fastx import read_fastx_fast as read_fastx
 
-    vals = []
-    for rec in read_fastx(args.reference):
-        c = BIT[np.frombuffer(rec.seq.encode(), np.uint8)]
-        d = np.diff(np.concatenate([[0], (c < 4).astype(np.int8), [0]]))
-        for s, e in zip(np.flatnonzero(d == 1), np.flatnonzero(d == -1)):
-            if e - s >= args.k:
-                vals.append(rolling_kmers(c[s:e], args.k))
-    uniq = np.unique(np.concatenate(vals)) if vals else np.empty(0, np.uint64)
+    if args.jf:
+        uniq = np.unique(read_jellyfish_dump(args.reference, args.k))
+    else:
+        vals = []
+        for rec in read_fastx(args.reference):
+            c = BIT[np.frombuffer(rec.seq.encode(), np.uint8)]
+            d = np.diff(np.concatenate([[0], (c < 4).astype(np.int8), [0]]))
+            for s, e in zip(np.flatnonzero(d == 1), np.flatnonzero(d == -1)):
+                if e - s >= args.k:
+                    vals.append(rolling_kmers(c[s:e], args.k))
+        uniq = (np.unique(np.concatenate(vals)) if vals
+                else np.empty(0, np.uint64))
     with open(args.o, "wb") as f:
         np.uint64(len(uniq)).tofile(f)
         uniq.tofile(f)
@@ -147,9 +183,12 @@ def main(argv=None):
     pk = sub.add_parser(
         "kmersort",
         help="write sorted unique 31-mers (reference kmer.srt format)")
-    pk.add_argument("reference")
+    pk.add_argument("reference",
+                    help="FASTA, or a Jellyfish JFLISTDN dump with --jf")
     pk.add_argument("-k", type=int, default=31)
     pk.add_argument("-o", default="kmer.srt")
+    pk.add_argument("--jf", action="store_true",
+                    help="input is a Jellyfish binary dump (JFLISTDN)")
     pk.set_defaults(fn=cmd_kmersort)
 
     args = p.parse_args(argv)
