@@ -124,8 +124,11 @@ def kaiju_to_rst(path, read_lengths=None):
             t = line[2:].rstrip("\n").split("\t")
             name = t[0]
             tid = 0
-            if cls == "C" and len(t) >= 3:
-                tid = int(t[2].split(",")[0])
+            if cls == "C" and len(t) >= 4:
+                # the reference takes the 4th field after the name (the
+                # kaiju taxon_ids list), first comma entry
+                # (src/analysis.c:906-913)
+                tid = int(t[3].split(",")[0])
             rl = read_lengths.get(name, 0) if read_lengths else 0
             out.append(Rst(name, cls, tid, rl, 0, 0))
     return out

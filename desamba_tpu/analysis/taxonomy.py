@@ -125,6 +125,12 @@ def _ana_get_tid(records, i, max_tid, parent):
     return tid, read_len, coverage, mapq, j
 
 
+def _fmt_f(x) -> str:
+    # C printf("%f") of the x86 0.0f/0.0f NaN prints "-nan" (sign bit
+    # set); keep byte parity on empty inputs
+    return "-nan" if np.isnan(x) else f"{x:f}"
+
+
 def _print_tree(weights, mapq_w, children, rank, node, level, total, is_base,
                 out):
     w = weights.get(node, 0)
@@ -134,9 +140,10 @@ def _print_tree(weights, mapq_w, children, rank, node, level, total, is_base,
     out.write("|" * level)
     if is_base:
         mq = np.float32(mapq_w.get(node, 0)) / np.float32(w) * rate
-        out.write(f"{rank.get(node, '')} TID:{node}  {rate:f}%, mapQ:{mq:f}\n")
+        out.write(f"{rank.get(node, '')} TID:{node}  {_fmt_f(rate)}%, "
+                  f"mapQ:{_fmt_f(mq)}\n")
     else:
-        out.write(f"{rank.get(node, '')} TID:{node}  {rate:f}%\n")
+        out.write(f"{rank.get(node, '')} TID:{node}  {_fmt_f(rate)}%\n")
     for ch in children.get(node, []):
         _print_tree(weights, mapq_w, children, rank, ch, level + 1, total,
                     is_base, out)
@@ -184,9 +191,12 @@ def ana_meta(rst_records, tax_path, rst_name, out=sys.stdout):
     out.write(f"total_read_number :{total_reads}\t")
 
 
-def ana_meta_base(rst_records, tax_path, rst_name, out=sys.stdout):
-    """Base-weighted abundance tree, M2 variant with mapQ
-    (src/analysis.c:1620-1752)."""
+def ana_meta_base(rst_records, tax_path, rst_name, out=sys.stdout,
+                  with_mapq=True):
+    """Base-weighted abundance tree (src/analysis.c). with_mapq=True is
+    the M2 variant the SAM path uses (:1620-1752, prints mapQ);
+    with_mapq=False is the plain variant (:1471-1608, no mapQ) used by
+    the centrifuge/kaiju/MetaMaps base modes (:1866, :1943, :1748)."""
     out.write(f"Current read {rst_name}\t{rst_name}\t")
     parent, rank, max_tid = load_taxonomy(tax_path)
     node_base: dict = {}
@@ -206,7 +216,8 @@ def ana_meta_base(rst_records, tax_path, rst_name, out=sys.stdout):
                 low_num += 1
     weights, mapq_w, children = _propagate(node_base, node_mapq, parent)
     out.write("Analysis based on base number:\n")
-    _print_tree(weights, mapq_w, children, rank, 1, 0, total_base, True, out)
+    _print_tree(weights, mapq_w, children, rank, 1, 0, total_base,
+                with_mapq, out)
     out.write(f"total_mapped_base_number :{total_base}\n")
     out.write(f"low identity read (identity <= 75%) number :{low_num}\t")
     out.write(f"total base {low_base}\t")
@@ -230,7 +241,8 @@ def run_analysis(mode: str, args: list, out=sys.stdout):
         ana_meta(ev.centrifuge_to_rst(cen), tax, cen + ".temp", out)
     elif mode == "ana_meta_cen_base":
         cen, tax = args
-        ana_meta_base(ev.centrifuge_to_rst(cen), tax, cen + ".temp", out)
+        ana_meta_base(ev.centrifuge_to_rst(cen), tax, cen + ".temp", out,
+                      with_mapq=False)
     elif mode == "ana_meta_kai":
         kai, tax = args
         ana_meta(ev.kaiju_to_rst(kai), tax, kai + ".temp", out)
@@ -245,11 +257,11 @@ def run_analysis(mode: str, args: list, out=sys.stdout):
         recs = ev.kaiju_to_rst(kai)
         for r in recs:
             r.read_length = lengths.get(int(r.read_name[11:] or 0), 0)
-        ana_meta_base(recs, tax, kai + ".temp", out)
+        ana_meta_base(recs, tax, kai + ".temp", out, with_mapq=False)
     elif mode == "ana_matemaps_base":
         mm, tax, exchange = args
         ana_meta_base(ev.metamaps_to_rst(mm, exchange), tax, mm + ".temp",
-                      out)
+                      out, with_mapq=False)
     elif mode in ("ana_species", "ana_genus"):
         sam, right_tax, tax = args
         rank = "species" if mode == "ana_species" else "genus"
