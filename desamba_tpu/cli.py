@@ -41,7 +41,18 @@ def cmd_classify(args):
     out = sys.stdout if args.o is None else open(args.o, "w")
     n = 0
     t1 = time.time()
-    if args.engine == "device":
+    engine = args.engine
+    if engine == "auto":
+        # device engine wins on an accelerator (233 vs 124 reads/s demo,
+        # BASELINE.md); on CPU backends the host engine is faster
+        try:
+            import jax
+
+            engine = "device" if jax.default_backend() not in (
+                "cpu",) else "gold"
+        except Exception:
+            engine = "gold"
+    if engine == "device":
         from .engine.device.classifier import DeviceClassifier
 
         eng = DeviceClassifier(idx, opts)
@@ -55,15 +66,20 @@ def cmd_classify(args):
         for path in args.reads:
             print(f"Processing file: [{path}].", file=sys.stderr)
             # batch + parallel classify (kt_for analogue); batches bound
-            # memory like the reference's 5000-read pipeline batches
+            # memory like the reference's pipeline batches: <=5000 reads
+            # or 10 Mbp, whichever first (N_NEEDED / MAX_read_size,
+            # src/cly_mt.c:19-20)
             batch: list = []
+            batch_bp = 0
             for rec in read_fastx(path):
                 batch.append(rec)
-                if len(batch) >= 5000:
+                batch_bp += len(rec.seq)
+                if len(batch) >= 5000 or batch_bp >= 10_000_000:
                     for res in eng.classify_records(batch, threads=args.t):
                         out.write(format_result(res, idx.ref_name, opts))
                         n += 1
                     batch = []
+                    batch_bp = 0
             for res in eng.classify_records(batch, threads=args.t):
                 out.write(format_result(res, idx.ref_name, opts))
                 n += 1
@@ -172,7 +188,10 @@ def main(argv=None):
     pc.add_argument("-s", type=int, default=64, help="min score")
     pc.add_argument("-f", default="SAM",
                     choices=["SAM", "SAM_FULL", "DES", "DES_FULL"])
-    pc.add_argument("--engine", default="gold", choices=["gold", "device"])
+    pc.add_argument("--engine", default="auto",
+                    choices=["auto", "gold", "device"],
+                    help="auto = device engine when an accelerator backend "
+                         "is present, else the host (gold) engine")
     pc.set_defaults(fn=cmd_classify)
 
     pa = sub.add_parser("analysis", help="taxonomy / accuracy analysis")
