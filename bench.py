@@ -80,7 +80,11 @@ def _run_gold(idx, reads, opts):
     from desamba_tpu.io.sam import format_result
 
     eng = ClassifyEngine(idx, opts)
-    threads = int(os.environ.get("DESAMBA_BENCH_THREADS", "4"))
+    # 2x oversubscription beats n_cores on this 4-core host (383 vs 282
+    # reads/s): numpy segments release the GIL and interleave with the
+    # pure-python stretches
+    threads = int(os.environ.get("DESAMBA_BENCH_THREADS",
+                                 str(2 * (os.cpu_count() or 4))))
     t0 = time.time()
     out_lines = [format_result(r, idx.ref_name, opts)
                  for r in eng.classify_records(reads, threads=threads)]
