@@ -95,14 +95,38 @@ def get_ref13(ref_bin, n_bases, offset, length, forward: bool):
     offset: (N,) int32; length: (N,) — chars beyond `length` are 0-filled
     like gold's np.empty... actually gold returns exactly `length` chars;
     callers only read [:length]. Out-of-range indices are clamped.
-    """
+
+    Gathers packed BYTES over the contiguous char range (5 vs 14 char
+    gathers per lane; ~12 ns per gathered element on this chip) with an
+    elementwise alignment select; per-char boundary clamps replicate the
+    first/last reference char like the original per-index clip."""
     off = jnp.maximum(offset, 0)
-    ar = jnp.arange(LV_L + 1, dtype=I32)[None, :]
-    idx = off[:, None] + (ar if forward else -ar)
-    idx = jnp.clip(idx, 0, n_bases - 1)
-    byte = ref_bin[idx >> 2]
-    shift = (6 - ((idx & 3) << 1)).astype(jnp.uint8)
-    chars = (byte >> shift) & jnp.uint8(3)
+    W = LV_L + 1
+    ar = jnp.arange(W, dtype=I32)[None, :]
+    start = off if forward else off - (W - 1)
+    # signed byte base keeps the alignment consistent for start < 0;
+    # the clipped leading bytes only feed positions with idx < 0, which
+    # the `under` fix overrides (char-0 replication = original clip)
+    b0 = start >> 2
+    a = (start & 3)[:, None]
+    nb = W // 4 + 2
+    bidx = jnp.clip(b0[:, None] + jnp.arange(nb, dtype=I32)[None, :],
+                    0, ref_bin.shape[0] - 1)
+    byts = ref_bin[bidx]
+    chars4 = jnp.stack([(byts >> 6) & 3, (byts >> 4) & 3,
+                        (byts >> 2) & 3, byts & 3], axis=2)
+    chars4 = chars4.reshape(chars4.shape[0], 4 * nb)
+    v = chars4[:, 0:W]
+    for s in (1, 2, 3):
+        v = jnp.where(a == s, chars4[:, s : s + W], v)
+    # per-position clamp semantics (original: clip(idx, 0, n-1))
+    idx = start[:, None] + ar
+    first = ref_bin[0] >> jnp.uint8(6)
+    last = (ref_bin[(n_bases - 1) >> 2]
+            >> jnp.uint8(6 - (((n_bases - 1) & 3) << 1))) & jnp.uint8(3)
+    v = jnp.where(idx < 0, first, v)
+    v = jnp.where(idx >= n_bases, last, v)
+    chars = v if forward else v[:, ::-1]
     return jnp.where(ar < length[:, None], chars, jnp.uint8(0))
 
 

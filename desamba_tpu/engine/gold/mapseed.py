@@ -126,13 +126,13 @@ def lv_extd(ref: np.ndarray, ref_length: int, query: np.ndarray,
     if ref_length < query_length:
         ref, query = query, ref
         ref_length, query_length = query_length, ref_length
-    # sentinel-terminated copies (C writes/restores in place)
-    r = np.empty(ref_length + 1, dtype=np.int16)
-    r[:ref_length] = ref[:ref_length]
-    r[ref_length] = SENT_REF
-    q = np.empty(query_length + 1, dtype=np.int16)
-    q[:query_length] = query[:query_length]
-    q[query_length] = SENT_QRY
+    # sentinel-terminated copies (C writes/restores in place); python
+    # lists: the DP below is scalar-indexing bound and list indexing is
+    # ~5x cheaper than numpy scalar access on <=13-char windows
+    r = list(map(int, ref[:ref_length]))
+    r.append(SENT_REF)
+    q = list(map(int, query[:query_length]))
+    q.append(SENT_QRY)
 
     size = 2 * (LV_BASE + 1) + 1
     mn = [0] * (size + 2)

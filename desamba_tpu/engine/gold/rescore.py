@@ -54,17 +54,39 @@ class ReadKmerIndex:
         hi = np.searchsorted(self.vals, np.uint64(v), "right")
         return self.pos[lo:hi]
 
+    def probe_many(self, vs: np.ndarray):
+        """Batched probe: (lo, hi) slice bounds into .pos per query."""
+        lo = np.searchsorted(self.vals, vs, "left")
+        hi = np.searchsorted(self.vals, vs, "right")
+        return lo, hi
+
 
 def _mem_q(qbuf: np.ndarray, qi: int, t: np.ndarray, ti: int, forward: bool,
            maxlen: int) -> int:
-    """MEM_search (src/cly.c:1810-1818); out-of-buffer -> mismatch."""
-    n = 0
+    """MEM_search (src/cly.c:1810-1818); out-of-buffer -> mismatch.
+
+    Long extensions take a vectorized first-mismatch scan; short ones
+    (the 4-cap leftmost checks) stay scalar to skip array overhead."""
     lq, lt = len(qbuf), len(t)
     if forward:
-        while n < maxlen and qi + n < lq and ti + n < lt and qbuf[qi + n] == t[ti + n]:
+        m = min(maxlen, lq - qi, lt - ti)
+    else:
+        m = min(maxlen, qi + 1, ti + 1)
+    if m <= 0:
+        return 0
+    if m > 24:
+        if forward:
+            neq = np.flatnonzero(qbuf[qi : qi + m] != t[ti : ti + m])
+        else:
+            neq = np.flatnonzero(qbuf[qi - m + 1 : qi + 1][::-1]
+                                 != t[ti - m + 1 : ti + 1][::-1])
+        return int(neq[0]) if len(neq) else m
+    n = 0
+    if forward:
+        while n < m and qbuf[qi + n] == t[ti + n]:
             n += 1
     else:
-        while n < maxlen and qi - n >= 0 and ti - n >= 0 and qbuf[qi - n] == t[ti - n]:
+        while n < m and qbuf[qi - n] == t[ti - n]:
             n += 1
     return n
 
@@ -83,9 +105,12 @@ def sdp_match(q_bg: int, q_ed: int, qbuf: np.ndarray, qbase: int,
     if t_kmer_num <= 4:
         return
     tv = rolling_kmers(np.asarray(t_arr[t0 : t0 + t_len], dtype=np.uint8), K9)
+    probe_at = np.arange(4, t_kmer_num, 4)
     if forward:
-        for i in range(4, t_kmer_num, 4):
-            for q_pos in rk.probe(int(tv[i])):
+        los, his = rk.probe_many(tv[probe_at])
+        for j in np.flatnonzero(his > los):
+            i = int(probe_at[j])
+            for q_pos in rk.pos[los[j] : his[j]]:
                 q_pos = int(q_pos)
                 if not (q_bg <= q_pos <= q_ed):
                     continue
@@ -104,9 +129,11 @@ def sdp_match(q_bg: int, q_ed: int, qbuf: np.ndarray, qbase: int,
                                     (i - back_len + t_st) & U32, total, 0])
     else:
         # i-th probe is at ref position t_len - 9 - i
-        for i in range(4, t_kmer_num, 4):
+        los, his = rk.probe_many(tv[t_kmer_num - 1 - probe_at])
+        for j in np.flatnonzero(his > los):
+            i = int(probe_at[j])
             tpos = t_kmer_num - 1 - i
-            for q_pos in rk.probe(int(tv[tpos])):
+            for q_pos in rk.pos[los[j] : his[j]]:
                 q_pos = int(q_pos)
                 if not (q_bg <= q_pos <= q_ed):
                     continue
