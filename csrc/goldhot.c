@@ -1,0 +1,294 @@
+/* Hot scalar kernels of the host (gold) classify engine.
+ *
+ * lv_extd: Landau-Vishkin semi-global edit distance <= lv_error. Native
+ * port of desamba_tpu/engine/gold/mapseed.py:lv_extd, which is the
+ * bit-parity oracle for the reference's extension scorer
+ * (src/cly.c:510-609). Semantics notes carried over from the python
+ * port:
+ *   - buffers are uint8 base codes; one-past-the-end reads yield the
+ *     sentinels 254 (ref '#') / 255 (query '$');
+ *   - out-of-range matches (the C reference reads stack garbage there)
+ *     terminate the run: guarded indices compare as mismatch;
+ *   - when ref is shorter than query the operands swap.
+ */
+#include <stdint.h>
+
+#define LV_MAX_E 8
+
+static inline int rat(const uint8_t *r, int64_t n, int64_t k) {
+    return k == n ? 254 : (int)r[k];
+}
+
+static inline int qat(const uint8_t *q, int64_t n, int64_t k) {
+    return k == n ? 255 : (int)q[k];
+}
+
+/* get_ref: unpack `length` 2-bit bases from the packed reference at
+ * global position `offset` (gold mapseed.get_ref; src/cly.c:435-466).
+ * Backward mode reads offset, offset-1, ...; indices clamp to range. */
+void get_ref_bases(const uint8_t *ref_bin, int64_t n_bases, int64_t offset,
+                   int64_t length, int forward, uint8_t *out) {
+    if (offset < 0) offset = 0;
+    for (int64_t k = 0; k < length; k++) {
+        int64_t idx = forward ? offset + k : offset - k;
+        if (idx < 0) idx = 0;
+        if (idx >= n_bases) idx = n_bases - 1;
+        out[k] = (ref_bin[idx >> 2] >> (6 - ((idx & 3) << 1))) & 3;
+    }
+}
+
+/* mem_run: length of the exact-match run (gold rescore._mem_q;
+ * src/cly.c:1810-1818). Directions +1/-1 from (qi, ti); bounds clamp. */
+int64_t mem_run(const uint8_t *qbuf, int64_t lq, int64_t qi,
+                const uint8_t *t, int64_t lt, int64_t ti,
+                int forward, int64_t maxlen) {
+    int64_t m = maxlen, n = 0;
+    if (forward) {
+        if (lq - qi < m) m = lq - qi;
+        if (lt - ti < m) m = lt - ti;
+        if (m <= 0) return 0;
+        while (n < m && qbuf[qi + n] == t[ti + n]) n++;
+    } else {
+        if (qi + 1 < m) m = qi + 1;
+        if (ti + 1 < m) m = ti + 1;
+        if (m <= 0) return 0;
+        while (n < m && qbuf[qi - n] == t[ti - n]) n++;
+    }
+    return n;
+}
+
+/* exist_hits: rolling e-kmers + low-complexity filter + 2-hash
+ * existence-table probe for one strand (gold islands.store_kmers_mask +
+ * exist_mask; src/cly.c:360-398, 956-972). out[i] = 1 when the e-kmer
+ * at position i passes the filter and both bit tables. */
+static inline uint64_t wang1(uint64_t k) {
+    k = (~k) + (k << 21);
+    k = k ^ (k >> 24);
+    k = k + (k << 3) + (k << 8);
+    k = k ^ (k >> 14);
+    k = k + (k << 2) + (k << 4);
+    k = k ^ (k >> 28);
+    k = k + (k << 31);
+    return k;
+}
+
+static inline uint64_t wang2(uint64_t k) {
+    k = k + (~(k << 32));
+    k = k ^ (k >> 22);
+    k = k + (~(k << 13));
+    k = k ^ (k >> 8);
+    k = k + (k << 3);
+    k = k ^ (k >> 15);
+    k = k + (~(k << 27));
+    k = k ^ (k >> 31);
+    return k;
+}
+
+void exist_hits(const uint8_t *bin_read, int64_t n_kmers, int64_t l_ek,
+                int64_t single_base_max, const uint8_t *ek0,
+                const uint8_t *ek1, uint64_t hash_mask, uint8_t *out) {
+    if (n_kmers <= 0) return;
+    const uint64_t kmask =
+        l_ek >= 32 ? ~0ull : ((1ull << (2 * l_ek)) - 1);
+    uint64_t kv = 0;
+    int64_t cnt[4] = {0, 0, 0, 0};
+    for (int64_t j = 0; j < l_ek - 1; j++) {
+        kv = (kv << 2) | bin_read[j];
+        cnt[bin_read[j]]++;
+    }
+    for (int64_t i = 0; i < n_kmers; i++) {
+        uint8_t cin = bin_read[i + l_ek - 1];
+        kv = ((kv << 2) | cin) & kmask;
+        cnt[cin]++;
+        int bad = (cnt[0] >= single_base_max) | (cnt[1] >= single_base_max)
+                | (cnt[2] >= single_base_max) | (cnt[3] >= single_base_max);
+        uint8_t hit = 0;
+        if (!bad && kv != 0) {
+            uint64_t h1 = wang1(kv) & hash_mask;
+            if ((ek0[h1 >> 3] >> (7 - (h1 & 7))) & 1) {
+                uint64_t h2 = wang2(kv) & hash_mask;
+                hit = (ek1[h2 >> 3] >> (7 - (h2 & 7))) & 1;
+            }
+        }
+        out[i] = hit;
+        cnt[bin_read[i]]--;
+    }
+}
+
+/* sdp_match: 9-mer seeded match harvest over one reference window
+ * (gold rescore.sdp_match; src/cly.c:2335-2440). Probes the window's
+ * 9-mers every 4th position against the read's sorted 9-mer table,
+ * MEM-extends hits (leftmost-only check via a 4-cap back run), and
+ * emits [q_start, t_start, len, 0] rows with uint32 wrap semantics.
+ * Returns the row count, or -(needed) if out_cap is too small. */
+static int64_t lower_b(const uint64_t *v, int64_t n, uint64_t x) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) { int64_t m = (lo + hi) >> 1;
+        if (v[m] < x) lo = m + 1; else hi = m; }
+    return lo;
+}
+
+static int64_t upper_b(const uint64_t *v, int64_t n, uint64_t x) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) { int64_t m = (lo + hi) >> 1;
+        if (v[m] <= x) lo = m + 1; else hi = m; }
+    return lo;
+}
+
+int64_t sdp_match(uint64_t q_bg, uint64_t q_ed,
+                  const uint8_t *qbuf, int64_t lq, int64_t qbase,
+                  const uint64_t *rkvals, const int64_t *rkpos, int64_t nrk,
+                  const uint8_t *t_arr, int64_t lt, int64_t t0,
+                  int64_t t_len, uint64_t t_st, int forward,
+                  int64_t over_search, int64_t k9,
+                  int64_t *out, int64_t out_cap) {
+    int64_t t_kmer_num = t_len - k9 + 1;
+    int64_t n_out = 0, need = 0;
+    if (t_kmer_num <= 4) return 0;
+    const uint64_t kmask = (1ull << (2 * k9)) - 1;
+    for (int64_t i = 4; i < t_kmer_num; i += 4) {
+        int64_t tpos = forward ? i : t_kmer_num - 1 - i;
+        uint64_t tv = 0;
+        for (int64_t j = 0; j < k9; j++)
+            tv = (tv << 2) | t_arr[t0 + tpos + j];
+        tv &= kmask;
+        int64_t lo = lower_b(rkvals, nrk, tv);
+        int64_t hi = upper_b(rkvals, nrk, tv);
+        for (int64_t r = lo; r < hi; r++) {
+            int64_t q_pos = rkpos[r];
+            if ((uint64_t)q_pos < q_bg || (uint64_t)q_pos > q_ed) continue;
+            if (forward) {
+                int64_t back_len = mem_run(qbuf, lq, qbase + q_pos - 1,
+                                           t_arr, lt, t0 + i - 1, 0, 4);
+                if (back_len < 4 || i == 4) {
+                    int64_t ms = (int64_t)q_ed - q_pos - 1;
+                    uint64_t msu = ms < 0 ? 0xFFFFFFFFull : (uint64_t)ms;
+                    uint64_t lim = (uint64_t)(t_len - i - 1);
+                    int64_t max_search =
+                        (int64_t)(msu < lim ? msu : lim) + over_search;
+                    int64_t fwd_len = mem_run(qbuf, lq, qbase + q_pos + k9,
+                                              t_arr, lt, t0 + i + k9, 1,
+                                              max_search);
+                    int64_t total = back_len + fwd_len + 1;
+                    if (total >= 4) {
+                        if (n_out < out_cap) {
+                            out[4 * n_out] =
+                                (int64_t)((uint64_t)(q_pos - back_len)
+                                          & 0xFFFFFFFFull);
+                            out[4 * n_out + 1] =
+                                (int64_t)((uint64_t)(i - back_len + t_st)
+                                          & 0xFFFFFFFFull);
+                            out[4 * n_out + 2] = total;
+                            out[4 * n_out + 3] = 0;
+                            n_out++;
+                        }
+                        need++;
+                    }
+                }
+            } else {
+                int64_t fwd_len = mem_run(qbuf, lq, qbase + q_pos + k9,
+                                          t_arr, lt, t0 + tpos + k9, 1, 4);
+                if (fwd_len < 4 || i == 4) {
+                    int64_t mq = q_pos < tpos ? q_pos : tpos;
+                    int64_t max_search = mq + over_search;
+                    int64_t back_len = mem_run(qbuf, lq, qbase + q_pos - 1,
+                                               t_arr, lt, t0 + tpos - 1, 0,
+                                               max_search);
+                    int64_t total = back_len + fwd_len + 1;
+                    if (total >= 4) {
+                        if (n_out < out_cap) {
+                            out[4 * n_out] =
+                                (int64_t)((uint64_t)(q_pos - back_len)
+                                          & 0xFFFFFFFFull);
+                            out[4 * n_out + 1] =
+                                (int64_t)((uint64_t)(tpos - back_len + t_st)
+                                          & 0xFFFFFFFFull);
+                            out[4 * n_out + 2] = total;
+                            out[4 * n_out + 3] = 0;
+                            n_out++;
+                        }
+                        need++;
+                    }
+                }
+            }
+        }
+    }
+    return need > n_out ? -need : n_out;
+}
+
+int64_t lv_extd(const uint8_t *ref, int64_t ref_length,
+                const uint8_t *query, int64_t query_length,
+                int64_t lv_error) {
+    if (lv_error > LV_MAX_E) return -1;
+    if (ref_length < query_length) {
+        const uint8_t *tp = ref; ref = query; query = tp;
+        int64_t tl = ref_length; ref_length = query_length; query_length = tl;
+    }
+    const int64_t base = lv_error;          /* LV_BASE == LV_ERROR */
+    const int64_t off = base + 1;
+    int64_t mn[2 * (LV_MAX_E + 1) + 3];
+    int64_t ed[2 * (LV_MAX_E + 1) + 3];
+    int64_t best = query_length;
+
+    for (int64_t i = -base - 1; i <= base + 1; i++) {
+        mn[off + i] = -1;
+        ed[off + i] = i > 0 ? i : -i;
+    }
+    for (int64_t i = 0; i <= lv_error; i++) {
+        int64_t prev_mn = -1, cur_mn = i - 1, next_mn = mn[off - i + 1];
+        int64_t prev_ed = i + 1, cur_ed = i, next_ed = ed[off - i + 1];
+        for (int64_t j = -i; j <= lv_error; j++) {
+            int64_t max_mn_ed;
+            if (cur_mn + j < ref_length - 1) {
+                max_mn_ed = cur_mn + 1 - cur_ed;
+                mn[off + j] = cur_mn + 1;
+                ed[off + j] = cur_ed + 1;
+                if (max_mn_ed < next_mn + 1 - next_ed) {
+                    mn[off + j] = next_mn + 1;
+                    ed[off + j] = next_ed + 1;
+                    max_mn_ed = next_mn - next_ed;
+                }
+                if (max_mn_ed < prev_mn - prev_ed) {
+                    mn[off + j] = prev_mn + 1;
+                    ed[off + j] = prev_ed + 1;
+                }
+            } else {
+                max_mn_ed = cur_mn - cur_ed;
+                mn[off + j] = cur_mn;
+                ed[off + j] = cur_ed + 1;
+                if (max_mn_ed < prev_mn - prev_ed) {
+                    mn[off + j] = prev_mn;
+                    ed[off + j] = prev_ed + 1;
+                    max_mn_ed = prev_mn - prev_ed;
+                }
+                if (max_mn_ed < next_mn + 1 - next_ed) {
+                    mn[off + j] = next_mn + 1;
+                    ed[off + j] = next_ed + 1;
+                }
+            }
+            int64_t mn_j = mn[off + j];
+            if (mn_j > query_length) mn_j = query_length;
+            if (mn_j > ref_length - j) mn_j = ref_length - j;
+            while (mn_j >= 0 && mn_j + j >= 0 && mn_j < query_length + 1
+                   && mn_j + j < ref_length + 1
+                   && rat(ref, ref_length, mn_j + j)
+                      == qat(query, query_length, mn_j))
+                mn_j++;
+            mn[off + j] = mn_j;
+            int hit = 0;
+            if (mn_j >= 0 && mn_j < query_length + 1
+                && qat(query, query_length, mn_j) == 255)
+                hit = 1;
+            if (mn_j + j >= 0 && mn_j + j < ref_length + 1
+                && rat(ref, ref_length, mn_j + j) == 254)
+                hit = 1;
+            if (hit) {
+                if (ed[off + j] - 1 < best) best = ed[off + j] - 1;
+                if (j <= i + 1) return best;
+            }
+            prev_mn = cur_mn; cur_mn = next_mn; next_mn = mn[off + j + 2];
+            prev_ed = cur_ed; cur_ed = next_ed; next_ed = ed[off + j + 2];
+        }
+    }
+    return best;
+}

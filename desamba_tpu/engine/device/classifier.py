@@ -101,6 +101,7 @@ class DeviceClassifier:
         hits = np.zeros((2 * B, n_k_max), bool)
         order = sorted(range(B), key=lambda i: len(bufs[i]))
         pos = 0
+        pending = []
         while pos < B:
             Lc = 1024
             while len(bufs[order[pos]]) // 2 > Lc:
@@ -118,10 +119,13 @@ class DeviceClassifier:
                 strands[2 * k, :rl] = b[:rl]
                 strands[2 * k + 1, :rl] = b[rl:]
                 lens[2 * k] = lens[2 * k + 1] = rl
-            # bit-pack on device: the tunnel downloads ~10 MB/s
-            packed = np.asarray(self._k_bloom(
-                jnp.asarray(strands), jnp.asarray(lens)))
-            got = np.unpackbits(packed, axis=1).astype(bool)
+            # bit-pack on device (tunnel downloads ~10 MB/s); dispatch
+            # every bucket before draining any — async dispatch overlaps
+            # the buckets' device compute and downloads
+            pending.append((grp, self._k_bloom(jnp.asarray(strands),
+                                               jnp.asarray(lens))))
+        for grp, packed_dev in pending:
+            got = np.unpackbits(np.asarray(packed_dev), axis=1).astype(bool)
             for k, i in enumerate(grp):
                 nk = len(bufs[i]) // 2 - l_ek + 1
                 hits[2 * i, :nk] = got[2 * k, :nk]
@@ -193,10 +197,13 @@ class DeviceClassifier:
         skip_all = np.zeros((n,), bool)
         ovf = False
         offset = 0
-        for g in groups:
-            out = self._run_ladder_group(kind, [lanes[j] for j in g],
-                                         codes_fr, buf_len, pre13, read_lens)
-            packed, base, acnt, skip, povf = out
+        # dispatch every length group before draining any (async jax
+        # dispatch overlaps the groups' device compute)
+        outs = [self._dispatch_ladder_group(kind, [lanes[j] for j in g],
+                                            codes_fr, buf_len, pre13,
+                                            read_lens) for g in groups]
+        for g, out in zip(groups, outs):
+            packed, base, acnt, skip, povf = self._drain_ladder_group(out)
             for k, j in enumerate(g):
                 base_all[j] = offset + int(base[k])
                 acnt_all[j] = acnt[k]
@@ -208,8 +215,8 @@ class DeviceClassifier:
                       else jnp.concatenate(packed_all, axis=0))
         return [packed_dev, base_all, acnt_all, skip_all, ovf]
 
-    def _run_ladder_group(self, kind, lanes, codes_fr, buf_len, pre13,
-                          read_lens):
+    def _dispatch_ladder_group(self, kind, lanes, codes_fr, buf_len, pre13,
+                               read_lens):
         N = len(lanes)
         NB = _bucket(N)
         cols = np.zeros((6, NB), np.int32)
@@ -223,7 +230,10 @@ class DeviceClassifier:
                      jnp.asarray(rlv), jnp.asarray(cols[2]),
                      jnp.asarray(cols[3]), jnp.asarray(cols[4]),
                      jnp.asarray(cols[5]), jnp.asarray(on))
-        out = self._k_ladder(kind, codes_fr, buf_len, pre13, lane_args, NB)
+        return self._k_ladder(kind, codes_fr, buf_len, pre13, lane_args, NB), NB
+
+    def _drain_ladder_group(self, out_nb):
+        out, NB = out_nb
         # anchor rows stay in HBM; only the small per-lane vectors land
         # on host (the pack download was a round-1 bottleneck)
         packed = out[0]
@@ -231,6 +241,11 @@ class DeviceClassifier:
         base, acnt, skip, povf = rest
         base = self._globalize_base(base, NB)
         return [packed, base, acnt, skip, povf]
+
+    def _run_ladder_group(self, kind, lanes, codes_fr, buf_len, pre13,
+                          read_lens):
+        return self._drain_ladder_group(self._dispatch_ladder_group(
+            kind, lanes, codes_fr, buf_len, pre13, read_lens))
 
     # ---- kernel indirection (overridden by parallel.MeshClassifier) ------
     def _k_bloom(self, strands, lens):

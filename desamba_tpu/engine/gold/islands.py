@@ -14,6 +14,7 @@ import numpy as np
 
 from ...constants import FORWARD, REVERSE, SEED_RANGE, STEP_EK
 from ...index.kmers import CLY_BIT, hash64_1, hash64_2
+from ...io import native
 
 
 @dataclass
@@ -145,8 +146,14 @@ def get_islands(read_seq: str, idx, *,
     dirs = []
     for base, direction in ((0, FORWARD), (read_len, REVERSE)):
         bin_read = buf[base : base + read_len]
-        kmers = store_kmers_mask(bin_read, n_kmers, l_ek, idx.single_base_max)
-        hit = exist_mask(kmers, idx.ekmer0, idx.ekmer1, idx.e_hash_mask)
+        if native.available():
+            hit = native.exist_hits(bin_read, n_kmers, l_ek,
+                                    idx.single_base_max, idx.ekmer0,
+                                    idx.ekmer1, idx.e_hash_mask)
+        else:
+            kmers = store_kmers_mask(bin_read, n_kmers, l_ek,
+                                     idx.single_base_max)
+            hit = exist_mask(kmers, idx.ekmer0, idx.ekmer1, idx.e_hash_mask)
         seeds = search_islands(hit, direction)
         total = mark_top(seeds, n_kmers, direction)
         dirs.append(SearchDir(seeds, bin_read, hit, direction, total, buf, base))

@@ -17,6 +17,7 @@ from ...constants import (
     MIN_UNI_L,
     SA_MASK,
 )
+from ...io import native
 from .fm import FM, MAX_U64, MemRst
 
 LV_BASE = LV_ERROR
@@ -72,6 +73,8 @@ def get_ref(ref_bin: np.ndarray, offset: int, length: int, forward: bool) -> np.
         offset = 0
     if length <= 0:
         return np.empty(0, dtype=np.uint8)
+    if native.available():
+        return native.get_ref_bases(ref_bin, offset, length, forward)
     if forward:
         idx = offset + np.arange(length)
     else:
@@ -122,7 +125,19 @@ class Locator:
 
 def lv_extd(ref: np.ndarray, ref_length: int, query: np.ndarray,
             query_length: int) -> int:
-    """Landau-Vishkin semi-global edit distance <= 4 (src/cly.c:510-609)."""
+    """Landau-Vishkin semi-global edit distance <= 4 (src/cly.c:510-609).
+
+    Dispatches to the native port (csrc/goldhot.c) when built — the DP
+    is the single hottest scalar loop of the host engine; the python
+    body below stays as the differential oracle (test_kmers.py)."""
+    if native.available():
+        return native.lv_extd(ref, ref_length, query, query_length,
+                              LV_ERROR)
+    return _lv_extd_py(ref, ref_length, query, query_length)
+
+
+def _lv_extd_py(ref: np.ndarray, ref_length: int, query: np.ndarray,
+                query_length: int) -> int:
     if ref_length < query_length:
         ref, query = query, ref
         ref_length, query_length = query_length, ref_length

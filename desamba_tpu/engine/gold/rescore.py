@@ -29,6 +29,7 @@ from ...constants import (
     SUPPLEMENTARY,
 )
 from ...index.kmers import rolling_kmers
+from ...io import native
 from .mapseed import get_ref
 
 U32 = 0xFFFFFFFF
@@ -67,6 +68,8 @@ def _mem_q(qbuf: np.ndarray, qi: int, t: np.ndarray, ti: int, forward: bool,
 
     Long extensions take a vectorized first-mismatch scan; short ones
     (the 4-cap leftmost checks) stay scalar to skip array overhead."""
+    if native.available():
+        return native.mem_run(qbuf, qi, t, ti, forward, maxlen)
     lq, lt = len(qbuf), len(t)
     if forward:
         m = min(maxlen, lq - qi, lt - ti)
@@ -103,6 +106,10 @@ def sdp_match(q_bg: int, q_ed: int, qbuf: np.ndarray, qbase: int,
     q_ed &= U32
     t_kmer_num = t_len - K9 + 1
     if t_kmer_num <= 4:
+        return
+    if native.available():
+        native.sdp_match(q_bg, q_ed, qbuf, qbase, rk.vals, rk.pos, t_arr,
+                         t0, t_len, t_st, forward, OVER_SEARCH_M2, K9, sms)
         return
     tv = rolling_kmers(np.asarray(t_arr[t0 : t0 + t_len], dtype=np.uint8), K9)
     probe_at = np.arange(4, t_kmer_num, 4)

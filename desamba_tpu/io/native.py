@@ -16,7 +16,8 @@ import numpy as np
 
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "csrc")
-_SRCS = [os.path.join(_CSRC, "fastx.c"), os.path.join(_CSRC, "islands.c")]
+_SRCS = [os.path.join(_CSRC, "fastx.c"), os.path.join(_CSRC, "islands.c"),
+         os.path.join(_CSRC, "goldhot.c")]
 _LIB = None
 _TRIED = False
 
@@ -51,6 +52,29 @@ def _build():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.lv_extd.restype = ctypes.c_int64
+    lib.lv_extd.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64]
+    lib.get_ref_bases.restype = None
+    lib.get_ref_bases.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_void_p]
+    lib.mem_run.restype = ctypes.c_int64
+    lib.mem_run.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64]
+    lib.exist_hits.restype = None
+    lib.exist_hits.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p]
+    lib.sdp_match.restype = ctypes.c_int64
+    lib.sdp_match.argtypes = [
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_uint64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64]
     return lib
 
 
@@ -123,6 +147,70 @@ def encode_batch(seq_bytes: bytes, lens: np.ndarray, pad_len: int):
         seq_bytes, lens.astype(np.int64).ctypes.data_as(ctypes.c_void_p),
         n, pad_len, out.ctypes.data_as(ctypes.c_void_p))
     return out
+
+
+def lv_extd(ref: np.ndarray, ref_length: int, query: np.ndarray,
+            query_length: int, lv_error: int) -> int:
+    """Native Landau-Vishkin (csrc/goldhot.c); == gold lv_extd."""
+    r = np.ascontiguousarray(ref[:ref_length], dtype=np.uint8)
+    q = np.ascontiguousarray(query[:query_length], dtype=np.uint8)
+    return _LIB.lv_extd(r.ctypes.data, ref_length, q.ctypes.data,
+                        query_length, lv_error)
+
+
+def get_ref_bases(ref_bin: np.ndarray, offset: int, length: int,
+                  forward: bool) -> np.ndarray:
+    """Native 2-bit reference unpack (csrc/goldhot.c); == gold get_ref."""
+    out = np.empty(length, np.uint8)
+    _LIB.get_ref_bases(ref_bin.ctypes.data, len(ref_bin) * 4, offset,
+                       length, 1 if forward else 0, out.ctypes.data)
+    return out
+
+
+def mem_run(qbuf: np.ndarray, qi: int, t: np.ndarray, ti: int,
+            forward: bool, maxlen: int) -> int:
+    """Native exact-match run (csrc/goldhot.c); == gold _mem_q."""
+    return _LIB.mem_run(qbuf.ctypes.data, len(qbuf), qi, t.ctypes.data,
+                        len(t), ti, 1 if forward else 0, maxlen)
+
+
+def exist_hits(bin_read: np.ndarray, n_kmers: int, l_ek: int,
+               single_base_max: int, ek0: np.ndarray, ek1: np.ndarray,
+               hash_mask: int) -> np.ndarray:
+    """Native e-kmer probe mask (csrc/goldhot.c); == gold
+    store_kmers_mask + exist_mask."""
+    out = np.zeros(n_kmers, np.uint8)
+    if n_kmers > 0:
+        _LIB.exist_hits(bin_read.ctypes.data, n_kmers, l_ek,
+                        single_base_max, ek0.ctypes.data, ek1.ctypes.data,
+                        hash_mask, out.ctypes.data)
+    return out.view(bool)
+
+
+_SMS_OUT = None
+
+
+def sdp_match(q_bg: int, q_ed: int, qbuf: np.ndarray, qbase: int,
+              rkvals: np.ndarray, rkpos: np.ndarray,
+              t_arr: np.ndarray, t0: int, t_len: int, t_st: int,
+              forward: bool, over_search: int, k9: int, sms: list) -> None:
+    """Native 9-mer match harvest (csrc/goldhot.c); == gold sdp_match.
+    Appends [q, t, len, 0] rows to sms."""
+    global _SMS_OUT
+    if _SMS_OUT is None:
+        _SMS_OUT = np.empty((4096, 4), np.int64)
+    out = _SMS_OUT
+    n = _LIB.sdp_match(
+        q_bg & 0xFFFFFFFF, q_ed & 0xFFFFFFFF, qbuf.ctypes.data, len(qbuf),
+        qbase, rkvals.ctypes.data, rkpos.ctypes.data, len(rkvals),
+        t_arr.ctypes.data, len(t_arr), t0, t_len, t_st & 0xFFFFFFFF,
+        1 if forward else 0, over_search, k9, out.ctypes.data, len(out))
+    if n < 0:
+        _SMS_OUT = np.empty((-n + 64, 4), np.int64)
+        return sdp_match(q_bg, q_ed, qbuf, qbase, rkvals, rkpos, t_arr, t0,
+                         t_len, t_st, forward, over_search, k9, sms)
+    for k in range(n):
+        sms.append([int(out[k, 0]), int(out[k, 1]), int(out[k, 2]), 0])
 
 
 def islands_batch(hits: np.ndarray, n_kmers: np.ndarray, dirs: np.ndarray,

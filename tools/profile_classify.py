@@ -44,7 +44,8 @@ def wrap(obj, name, key=None):
 
 
 wrap(DeviceClassifier, '_islands')
-wrap(DeviceClassifier, '_run_ladder_group', 'ladder_device')
+wrap(DeviceClassifier, '_dispatch_ladder_group', 'ladder_dispatch')
+wrap(DeviceClassifier, '_drain_ladder_group', 'ladder_drain')
 
 import desamba_tpu.engine.device.classifier as C
 import desamba_tpu.engine.device.chain as dchain_mod
