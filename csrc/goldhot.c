@@ -57,6 +57,133 @@ int64_t mem_run(const uint8_t *qbuf, int64_t lq, int64_t qi,
     return n;
 }
 
+/* FM backward MEM search (gold fm.py bwt_mem_search/bwt_single_search;
+ * src/cly.c:1281-1447). occ is the (6, n_rows+1) cumulative table laid
+ * out row-major with stride occ_stride; rank6 the 6-char LF bases;
+ * spset/spcount the caller-owned 500-entry linear dedup set
+ * (wrap-reset). Emits rows [match_len, sp, sa_sp(-1 = none), sa_sp_l]
+ * and returns the row count. */
+#define SPSET_CAP 500
+
+static int spset_insert(uint64_t *set, int64_t *cnt, uint64_t node) {
+    int64_t n = *cnt;
+    if (n == SPSET_CAP) { n = 0; }
+    for (int64_t k = 0; k < n; k++)
+        if (set[k] == node) { *cnt = n; return 0; }
+    set[n] = node;
+    *cnt = n + 1;
+    return 1;
+}
+
+typedef struct {
+    const uint8_t *row_char;
+    const int64_t *occ;
+    int64_t occ_stride;
+    const int64_t *rank6;
+    int64_t dollar_pos;
+    int64_t sa_mask;
+} FmTab;
+
+static int64_t fm_lf(const FmTab *fm, int64_t r, int *c_out) {
+    int c = fm->row_char[r];
+    *c_out = c;
+    if (c == 5)  /* '$' */
+        return fm->dollar_pos + fm->rank6[5];
+    return fm->occ[(int64_t)c * fm->occ_stride + r] + fm->rank6[c];
+}
+
+static void fm_single(const FmTab *fm, int64_t sp, const uint8_t *string,
+                      int64_t str_i, int64_t max_match_len,
+                      uint64_t *spset, int64_t *spcount,
+                      int64_t *match_len_out, int64_t *sp_out,
+                      int64_t *sa_sp_out, int64_t *sa_sp_l_out) {
+    int64_t sa_sp = -1, sa_sp_l = 0, match_len = 0;
+    for (;;) {
+        if (match_len >= max_match_len) break;
+        if ((sp & fm->sa_mask) == 0) { sa_sp = sp; sa_sp_l = 0; }
+        else sa_sp_l -= 1;
+        int c;
+        int64_t new_sp = fm_lf(fm, sp, &c);
+        if (str_i < 0 || c != (int)string[str_i]) break;
+        match_len += 1;
+        str_i -= 1;
+        if (!spset_insert(spset, spcount, (uint64_t)new_sp)) {
+            *match_len_out = -1000;
+            return;
+        }
+        sp = new_sp;
+    }
+    *match_len_out = match_len;
+    *sp_out = sp;
+    *sa_sp_out = sa_sp;
+    *sa_sp_l_out = sa_sp_l;
+}
+
+int64_t fm_mem_search(const uint8_t *row_char, const int64_t *occ,
+                      int64_t occ_stride, const int64_t *rank6,
+                      int64_t dollar_pos, int64_t sa_mask,
+                      const uint32_t *hash13,
+                      const uint8_t *string, int64_t str_i, int64_t pre_v,
+                      int64_t max_rst, int64_t l_min_mth, int64_t l_max_mth,
+                      int64_t l_pre_idx,
+                      uint64_t *spset, int64_t *spcount,
+                      int64_t *out, int64_t out_cap) {
+    FmTab fm = {row_char, occ, occ_stride, rank6, dollar_pos, sa_mask};
+    int64_t sp = hash13[pre_v];
+    int64_t ep = hash13[pre_v + 1];
+    str_i -= l_pre_idx;
+    int64_t match_len = l_pre_idx;
+    int64_t new_sp, new_ep;
+    for (;;) {
+        int64_t c = str_i >= 0 ? (int64_t)string[str_i] : -1;
+        str_i -= 1;
+        if (c < 0) { new_sp = new_ep = 0; }
+        else {
+            new_sp = rank6[c] + occ[c * occ_stride + sp];
+            new_ep = rank6[c] + occ[c * occ_stride + ep];
+        }
+        if (match_len >= l_min_mth - 1) {
+            if (new_sp + max_rst >= new_ep) break;
+            if (match_len >= l_max_mth) return 0;
+        }
+        if (new_sp + 1 >= new_ep) break;
+        match_len += 1;
+        sp = new_sp; ep = new_ep;
+    }
+    if (new_sp >= new_ep) return 0;
+    int64_t n_out = 0;
+    if (new_sp + 1 == new_ep) {
+        if (!spset_insert(spset, spcount, (uint64_t)new_sp)) return 0;
+        /* rst inits mirror MemRst(0, 0, MAX_U64, 0): the -1000 dedup
+           path leaves them untouched */
+        int64_t ml = 0, rsp = 0, sa_sp = -1, sa_sp_l = 0;
+        int64_t mm = l_max_mth - match_len; if (mm < 0) mm = 0;
+        fm_single(&fm, new_sp, string, str_i, mm, spset, spcount,
+                  &ml, &rsp, &sa_sp, &sa_sp_l);
+        ml += match_len + 1;
+        if (ml >= l_min_mth && n_out < out_cap) {
+            out[4 * n_out] = ml; out[4 * n_out + 1] = rsp;
+            out[4 * n_out + 2] = sa_sp; out[4 * n_out + 3] = sa_sp_l;
+            n_out++;
+        }
+    } else {
+        for (int64_t c_sp = new_sp; c_sp < new_ep; c_sp++) {
+            if (!spset_insert(spset, spcount, (uint64_t)c_sp)) continue;
+            int64_t ml = 0, rsp = 0, sa_sp = -1, sa_sp_l = 0;
+            int64_t mm = l_max_mth - match_len; if (mm < 0) mm = 0;
+            fm_single(&fm, c_sp, string, str_i, mm, spset, spcount,
+                      &ml, &rsp, &sa_sp, &sa_sp_l);
+            ml += match_len + 1;
+            if (ml >= l_min_mth && n_out < out_cap) {
+                out[4 * n_out] = ml; out[4 * n_out + 1] = rsp;
+                out[4 * n_out + 2] = sa_sp; out[4 * n_out + 3] = sa_sp_l;
+                n_out++;
+            }
+        }
+    }
+    return n_out;
+}
+
 /* exist_hits: rolling e-kmers + low-complexity filter + 2-hash
  * existence-table probe for one strand (gold islands.store_kmers_mask +
  * exist_mask; src/cly.c:360-398, 956-972). out[i] = 1 when the e-kmer

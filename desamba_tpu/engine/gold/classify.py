@@ -57,6 +57,19 @@ class ClassifyEngine:
         self.loc = Locator(idx)
         self.q_mem, self.q_lv = mapq_tables(len(idx.ref_bin) * 4)
         self.state = StreamState()
+        self._pool = None
+        self._pool_threads = 0
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def classify_records(self, recs, threads: int = 1):
         """Classify a list of records, optionally in parallel — the kt_for
@@ -152,12 +165,16 @@ def _classify_parallel(eng, recs, premax, threads):
         jobs.append((lo, [(premax[i], recs[i].name, recs[i].seq, recs[i].qual)
                           for i in range(lo, hi)]))
     _G_ENGINE = eng
-    try:
+    # persistent fork pool: spin-up costs ~0.2 s per batch otherwise
+    # (the reference's kt_for threads live for the whole run too)
+    if eng._pool is None or eng._pool_threads != threads:
+        if eng._pool is not None:
+            eng._pool.shutdown(wait=False)
         ctx = mp.get_context("fork")
-        with ProcessPoolExecutor(max_workers=threads, mp_context=ctx) as ex:
-            out: list = [None] * n
-            for lo, res in ex.map(_classify_chunk, jobs):
-                out[lo : lo + len(res)] = res
-        return out
-    finally:
-        _G_ENGINE = None
+        eng._pool = ProcessPoolExecutor(max_workers=threads, mp_context=ctx)
+        eng._pool_threads = threads
+    ex = eng._pool
+    out: list = [None] * n
+    for lo, res in ex.map(_classify_chunk, jobs):
+        out[lo : lo + len(res)] = res
+    return out

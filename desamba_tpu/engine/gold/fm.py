@@ -11,20 +11,35 @@ from dataclasses import dataclass
 import numpy as np
 
 from ...constants import CHAR_DOLLAR, L_PRE_IDX, SA_MASK, SP_SET_CAP
+from ...io import native
 
 MAX_U64 = (1 << 64) - 1
 
 
 class SpSet:
-    """500-entry linear dedup set with wrap-reset (src/cly.c:1281-1298)."""
+    """500-entry linear dedup set with wrap-reset (src/cly.c:1281-1298).
 
-    __slots__ = ("items",)
+    Holds both the python list (oracle path) and the flat buffers the
+    native fm_mem_search mutates in place — per engine run only one of
+    the two representations is ever used."""
+
+    __slots__ = ("items", "buf", "cnt", "nat_ptrs")
 
     def __init__(self):
         self.items = []
+        self.buf = np.zeros(SP_SET_CAP + 1, np.uint64)
+        self.cnt = np.zeros(1, np.int64)
+        self.nat_ptrs = (self.buf.ctypes.data, self.cnt.ctypes.data)
 
     def reset(self):
         self.items.clear()
+        self.cnt[0] = 0
+
+    def contents(self) -> list:
+        """Members regardless of which representation is live."""
+        if self.items:
+            return list(self.items)
+        return [int(x) for x in self.buf[: int(self.cnt[0])]]
 
     def insert(self, node: int) -> bool:
         items = self.items
@@ -54,6 +69,13 @@ class FM:
         self.rank = idx.rank
         self.hash13 = idx.hash13
         self.dollar_pos = idx.dollar_pos
+        # pinned table pointers for the native search (pointer property
+        # lookups cost ~1 us each; the tables never move)
+        self.nat_ptrs = (self.row_char.ctypes.data,
+                         self.occ_prefix.ctypes.data,
+                         self.occ_prefix.shape[1], self.rank.ctypes.data,
+                         int(self.dollar_pos), int(SA_MASK),
+                         self.hash13.ctypes.data)
 
     def lf(self, r: int):
         """One LF step reading the char at r: returns (new_row, char).
@@ -107,6 +129,16 @@ def bwt_mem_search(fm: FM, string: np.ndarray, str_i: int, pre_v: int,
     Appends MemRst entries to out; returns count appended.
     """
     n0 = len(out)
+    if native.available():
+        rows = native.fm_mem_search(
+            fm.nat_ptrs, string, str_i, pre_v, max_rst, l_min_mth,
+            l_max_mth, L_PRE_IDX, sp_set.nat_ptrs)
+        for k in range(len(rows)):
+            ml, sp_r, sa_sp, sa_sp_l = (int(rows[k, 0]), int(rows[k, 1]),
+                                        int(rows[k, 2]), int(rows[k, 3]))
+            out.append(MemRst(ml, sp_r,
+                              MAX_U64 if sa_sp < 0 else sa_sp, sa_sp_l))
+        return len(out) - n0
     sp = int(fm.hash13[pre_v])
     ep = int(fm.hash13[pre_v + 1])
     str_i -= L_PRE_IDX

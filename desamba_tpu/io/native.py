@@ -64,6 +64,13 @@ def _build():
     lib.mem_run.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64]
+    lib.fm_mem_search.restype = ctypes.c_int64
+    lib.fm_mem_search.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64]
     lib.exist_hits.restype = None
     lib.exist_hits.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -172,6 +179,22 @@ def mem_run(qbuf: np.ndarray, qi: int, t: np.ndarray, ti: int,
     """Native exact-match run (csrc/goldhot.c); == gold _mem_q."""
     return _LIB.mem_run(qbuf.ctypes.data, len(qbuf), qi, t.ctypes.data,
                         len(t), ti, 1 if forward else 0, maxlen)
+
+
+_FM_OUT = np.empty((64, 4), np.int64)
+
+
+def fm_mem_search(fm_ptrs, string, str_i, pre_v, max_rst, l_min_mth,
+                  l_max_mth, l_pre_idx, spset_ptrs):
+    """Native FM backward MEM search (csrc/goldhot.c); == gold
+    bwt_mem_search. fm_ptrs / spset_ptrs are the pinned pointer tuples
+    from FM.nat_ptrs / SpSet.nat_ptrs. Returns an (n, 4) int64 view of
+    [match_len, sp, sa_sp(-1 = MAX_U64), sa_sp_l] rows."""
+    out = _FM_OUT
+    n = _LIB.fm_mem_search(
+        *fm_ptrs, string.ctypes.data, str_i, pre_v, max_rst, l_min_mth,
+        l_max_mth, l_pre_idx, *spset_ptrs, out.ctypes.data, len(out))
+    return out[:n]
 
 
 def exist_hits(bin_read: np.ndarray, n_kmers: int, l_ek: int,

@@ -283,7 +283,7 @@ def test_mem_probe_parity(device_setup):
                    for k in range(MEM_SEARCH_FAST) if host[5][i, k]]
             exp = [(r.match_len, r.sp, r.sa_sp, r.sa_sp_l) for r in m_r]
             assert got == exp, f"lane {i} j {j_state[i]}"
-            gold_rows = {x & 0xFFFFFFFF for x in gold_sets[i].items}
+            gold_rows = {x & 0xFFFFFFFF for x in gold_sets[i].contents()}
             dev_rows = {int(x) for x in spset_h[i] if x != 0xFFFFFFFF}
             assert gold_rows == dev_rows, f"spset lane {i}"
             j_state[i] -= 2 if not m_r else 3
