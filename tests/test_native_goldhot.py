@@ -1,0 +1,136 @@
+"""Differential fuzz: csrc/goldhot.c kernels vs their pure-python gold
+oracles (which are themselves bit-parity-tested against the reference
+binary). Covers lv_extd, mem_run, get_ref, exist_hits, sdp_match and
+fm_mem_search."""
+import types
+
+import numpy as np
+import pytest
+
+from desamba_tpu.io import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def test_lv_extd_matches_python():
+    from desamba_tpu.constants import LV_ERROR
+    from desamba_tpu.engine.gold.mapseed import _lv_extd_py
+
+    rng = np.random.default_rng(7)
+    for _ in range(5000):
+        rl = int(rng.integers(0, 14))
+        ql = int(rng.integers(0, 14))
+        r = rng.integers(0, 4, rl).astype(np.uint8)
+        if rng.random() < 0.5 and ql <= rl:
+            q = r[:ql].copy()
+        else:
+            q = rng.integers(0, 4, ql).astype(np.uint8)
+        if len(q) and rng.random() < 0.7:
+            k = rng.integers(0, len(q), rng.integers(0, 4))
+            q[k] = rng.integers(0, 4, len(k))
+        assert (_lv_extd_py(r, rl, q, ql)
+                == native.lv_extd(r, rl, q, ql, LV_ERROR))
+
+
+def test_mem_run_matches_python():
+    import desamba_tpu.engine.gold.rescore as R
+    import desamba_tpu.io.native as nv
+
+    rng = np.random.default_rng(3)
+    real = R.native
+    R.native = types.SimpleNamespace(available=lambda: False)
+    try:
+        for _ in range(5000):
+            lq = int(rng.integers(1, 60))
+            lt = int(rng.integers(1, 60))
+            qb = rng.integers(0, 4, lq).astype(np.uint8)
+            t = rng.integers(0, 4, lt).astype(np.uint8)
+            if rng.random() < 0.5:
+                n = min(lq, lt)
+                t[:n] = qb[:n]
+            fw = bool(rng.random() < 0.5)
+            if fw:
+                qi = int(rng.integers(0, lq + 3))
+                ti = int(rng.integers(0, lt + 3))
+            else:
+                qi = int(rng.integers(-1, lq))
+                ti = int(rng.integers(-1, lt))
+            ml = (int(rng.integers(0, 100)) if rng.random() < 0.9
+                  else 0xFFFFFFFF)
+            assert (R._mem_q(qb, qi, t, ti, fw, ml)
+                    == nv.mem_run(qb, qi, t, ti, fw, ml))
+    finally:
+        R.native = real
+
+
+def test_get_ref_matches_python():
+    import desamba_tpu.engine.gold.mapseed as M
+
+    rng = np.random.default_rng(5)
+    rb = rng.integers(0, 256, 1000).astype(np.uint8)
+    real = M.native
+    M.native = types.SimpleNamespace(available=lambda: False)
+    try:
+        for _ in range(2000):
+            off = int(rng.integers(0, 4100))
+            ln = int(rng.integers(1, 80))
+            fw = bool(rng.random() < 0.5)
+            assert np.array_equal(M.get_ref(rb, off, ln, fw),
+                                  native.get_ref_bases(rb, off, ln, fw))
+    finally:
+        M.native = real
+
+
+def test_exist_hits_matches_python(small_my_index):
+    from desamba_tpu.engine.gold.islands import exist_mask, store_kmers_mask
+
+    idx = small_my_index
+    rng = np.random.default_rng(5)
+    for _ in range(100):
+        n = int(rng.integers(idx.len_e_kmer + 1, 2000))
+        br = rng.integers(0, 4, n).astype(np.uint8)
+        nk = n - idx.len_e_kmer + 1
+        km = store_kmers_mask(br, nk, idx.len_e_kmer, idx.single_base_max)
+        a = exist_mask(km, idx.ekmer0, idx.ekmer1, idx.e_hash_mask)
+        b = native.exist_hits(br, nk, idx.len_e_kmer, idx.single_base_max,
+                              idx.ekmer0, idx.ekmer1, idx.e_hash_mask)
+        assert np.array_equal(a, b)
+
+
+def test_fm_mem_search_matches_python(small_my_index):
+    import desamba_tpu.engine.gold.fm as fm_mod
+    from desamba_tpu.engine.gold.fm import FM, SpSet, bwt_mem_search
+    from desamba_tpu.constants import (L_PRE_IDX, MEM_SEARCH_FAST,
+                                       MIN_MEM_LEN_FAST, PRE_IDX_MASK)
+    from desamba_tpu.engine.gold.mapseed import get_ref
+    from desamba_tpu.index.kmers import rolling_kmers
+
+    idx = small_my_index
+    fm = FM(idx)
+    rng = np.random.default_rng(11)
+    total = int(idx.ref_off[-1] + idx.ref_len[-1])
+    real = fm_mod.native
+    for _ in range(60):
+        L = 200
+        st = int(rng.integers(0, total - L))
+        seq = get_ref(idx.ref_bin, st, L, True).copy()
+        pos = rng.integers(0, L, size=L // 12)
+        seq[pos] = (seq[pos] + rng.integers(1, 4, size=len(pos))) % 4
+        kms = rolling_kmers(seq, idx.len_e_kmer)
+        str_i = int(rng.integers(idx.len_e_kmer, L - 1))
+        pre_v = int(kms[str_i - idx.len_e_kmer + 1]) & PRE_IDX_MASK
+        out_py: list = []
+        out_nat: list = []
+        sp_py, sp_nat = SpSet(), SpSet()
+        fm_mod.native = types.SimpleNamespace(available=lambda: False)
+        try:
+            bwt_mem_search(fm, seq, str_i, pre_v, MEM_SEARCH_FAST,
+                           MIN_MEM_LEN_FAST, str_i, sp_py, out_py)
+        finally:
+            fm_mod.native = real
+        bwt_mem_search(fm, seq, str_i, pre_v, MEM_SEARCH_FAST,
+                       MIN_MEM_LEN_FAST, str_i, sp_nat, out_nat)
+        assert [(r.match_len, r.sp, r.sa_sp, r.sa_sp_l) for r in out_py] \
+            == [(r.match_len, r.sp, r.sa_sp, r.sa_sp_l) for r in out_nat]
+        assert [int(x) for x in sp_py.items] == sp_nat.contents()
