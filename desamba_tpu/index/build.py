@@ -131,17 +131,18 @@ def _popcount4(x: np.ndarray) -> np.ndarray:
 def _check_memory_budget(fasta_path: str):
     """Fail fast with a clear message instead of OOMing mid-build.
 
-    The array-parallel build peaks at ~285 bytes per reference base
-    (measured: 64 MB genome -> 18.1 GB peak RSS, BASELINE.md scale
-    table; the k-mer value/argsort passes materialize ~30 full-length
-    int64 arrays). The reference's own envelope is
+    The array-parallel build peaks at ~100 bytes per reference base plus
+    a ~3 GB dense hash13 stage (measured: 16 MB genome -> 4.4 GB peak
+    RSS after the round-2 memory pass — dead-intermediate frees, int32
+    walk arrays, 2-key merge sort, chunked existence hashing; was
+    6.5 GB / 18.1 GB at 64 MB before). The reference's own envelope is
     ~4.5 bytes/base at the jellyfish stage + 160 GB for RefSeq-"all"
     (README.md:50); a streamed/sharded build is the documented follow-up
     for genomes beyond one host's RAM."""
     import os
 
     size = os.path.getsize(fasta_path)
-    need = int(size * 300)
+    need = int(size * 120) + 3 * (1 << 30)
     try:
         with open("/proc/meminfo") as f:
             avail_kb = next(int(line.split()[1]) for line in f
@@ -167,33 +168,23 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     # ---- reference packing + offsets (src/idx.c:577-603) -------------------
     ref_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
     ref_bin = pack_2bit(np.concatenate([BIN_BIT[c] for c in raw_codes]))
+    del raw_codes
     progress("ref packed")
 
     # ---- sorted unique 31-mers (jellyfish + kmersort equivalent) ------------
-    # Keep per-sequence kmer position arrays for the edge pass.
-    all_vals, all_prev, all_next, all_first, all_last = [], [], [], [], []
-    head_keys, tail_keys = [], []
+    all_vals = []
     for c in codes:
         runs = _runs_of(c < 4)
         for s, e in runs:
-            L = e - s
-            if L < B_KMER:
+            if e - s < B_KMER:
                 continue
-            seg = c[s:e]
-            vals = rolling_kmers(seg, B_KMER)  # L-30 kmers
-            all_vals.append(vals)
-            nk = len(vals)
-            # in-edge char (prev base) for kmers 1..nk-1; out-edge (next base)
-            # for kmers 0..nk-2 (src/idx.c:151-232)
-            prev_b = seg[0 : nk - 1]
-            next_b = seg[B_KMER : B_KMER + nk - 1]
-            all_prev.append(prev_b)
-            all_next.append(next_b)
-            head_keys.append(vals[0])
-            tail_keys.append(vals[-1])
+            all_vals.append(rolling_kmers(c[s:e], B_KMER))  # L-30 kmers
     if not all_vals:
         raise ValueError("no k-mers in reference")
+    run_sizes = np.array([len(v) for v in all_vals], dtype=np.int64)
+    run_off = np.concatenate([[0], np.cumsum(run_sizes)])
     vals_cat = np.concatenate(all_vals)
+    del all_vals  # the concatenated copy is the only one the passes need
     # return_inverse gives every occurrence's row in kmer_v for free — a
     # searchsorted join here costs ~1.4 us/lookup (latency-bound binary
     # search), 15+ s at RefSeq-viral scale
@@ -207,8 +198,6 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     # run is an edge SRC->DST whose char is DST's last base (= SRC's next
     # base), and whose in-char at DST is SRC's first base. All neighbor
     # queries below use these observed pairs — no key reconstruction.
-    run_sizes = np.array([len(v) for v in all_vals], dtype=np.int64)
-    run_off = np.concatenate([[0], np.cumsum(run_sizes)])
     adj = np.ones(len(vals_cat) - 1, dtype=bool) if len(vals_cat) > 1 else np.zeros(0, bool)
     if len(run_off) > 2:
         adj[run_off[1:-1] - 1] = False
@@ -218,11 +207,14 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     pair_out_char = (vals_cat[1:][adj] & U64(3)).astype(np.uint8)
     in_edges = np.zeros(n_kmer, dtype=np.uint8)
     out_edges = np.zeros(n_kmer, dtype=np.uint8)
-    np.bitwise_or.at(in_edges, pair_dst, np.uint8(1) << pair_in_char)
-    np.bitwise_or.at(out_edges, pair_src, np.uint8(1) << pair_out_char)
+    # OR-accumulate per char class: within a class every update writes the
+    # same bit, so duplicate indices in a buffered fancy |= are harmless.
+    # (ufunc.at is ~100x slower; this is the build's hottest line at scale)
+    for ch in range(4):
+        in_edges[pair_dst[pair_in_char == ch]] |= np.uint8(1 << ch)
+        out_edges[pair_src[pair_out_char == ch]] |= np.uint8(1 << ch)
     heads = pos_in_kv[run_off[:-1]]
     tails = pos_in_kv[run_off[1:] - 1]
-    del all_prev, all_next
     progress("dBG edges")
 
     # ---- setLabel (src/idx.c:392-513) ---------------------------------------
@@ -254,7 +246,10 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     ob = out_edges.astype(np.int16)
     low = np.where(ob & 1, 0, np.where(ob & 2, 1, np.where(ob & 4, 2, 3)))
     out_char[nz] = low[nz]
-    succ = np.arange(n_kmer, dtype=np.int64)
+    # int32 walk arrays halve the doubling loop's footprint (indices and
+    # distances are < n_rows; the guard upgrades past the int32 range)
+    idt = np.int64 if n_kmer + 31 * n_uni >= (1 << 31) else np.int32
+    succ = np.arange(n_kmer, dtype=idt)
     walkable = ~is_end
     # walkable nodes have exactly one out-edge; its destination appears as
     # an observed pair whose edge char equals out_char[src]
@@ -262,13 +257,13 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     succ[pair_src[sel]] = pair_dst[sel]
     del vals_cat, pos_in_kv, pair_src, pair_dst, pair_in_char, pair_out_char, adj
     # predecessor links for offset/char computation: invert succ
-    pred = np.full(n_kmer, -1, dtype=np.int64)
-    src = np.flatnonzero(walkable)
+    pred = np.full(n_kmer, -1, dtype=idt)
+    src = np.flatnonzero(walkable).astype(idt)
     pred[succ[src]] = src
     pred[is_start] = -1  # starts have no predecessor within a unitig
     # distance to start + head id via pointer doubling on pred
-    jmp = np.where(pred >= 0, pred, np.arange(n_kmer))
-    dist = (pred >= 0).astype(np.int64)
+    jmp = np.where(pred >= 0, pred, np.arange(n_kmer, dtype=idt)).astype(idt)
+    dist = (pred >= 0).astype(idt)
     for _ in range(64):
         nj = jmp[jmp]
         if np.array_equal(nj, jmp):
@@ -281,8 +276,8 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     assert is_start[head_idx].all(), "dBG contains a start-less cycle"
     # unitig ids: rank of start kmer (ascending kmer order = reference order)
     start_locs = np.flatnonzero(is_start)
-    uid_of_start = np.full(n_kmer, -1, dtype=np.int64)
-    uid_of_start[start_locs] = np.arange(n_uni)
+    uid_of_start = np.full(n_kmer, -1, dtype=idt)
+    uid_of_start[start_locs] = np.arange(n_uni, dtype=idt)
     kmer_uid = uid_of_start[head_idx]
     kmer_off = dist  # offset of kmer within its unitig (0 = start)
     # unitig lengths: 31 + offset of end kmer
@@ -299,6 +294,9 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     prev_char[has_pred] = (kmer_v[pred[has_pred]] >> U64((B_KMER - 1) * 2)).astype(np.uint8) & 0x3
     prev_char[is_start] = CHAR_HASH
     prev_char[start_locs[0]] = CHAR_DOLLAR
+    del succ, pred, jmp, head_idx, uid_of_start, has_pred, walkable
+    del low, ob, out_char, in_edges, out_edges, in_cnt, out_cnt
+    del marked_start, marked_end, is_start, is_end
     progress("unitig walk")
 
     # ---- text geometry ------------------------------------------------------
@@ -378,25 +376,39 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     nk_pos_text = uni_start[kmer_uid] + kmer_off
 
     # merge: sort by (aligned, is_normal, sp_pos asc, original sp order)
-    # (spkmer_cmp_l src/idx.c:856-881 + findInsertPos merge src/idx.c:309-331)
-    m_aligned = np.concatenate([sp_aligned, kmer_v])
-    m_isnorm = np.concatenate(
-        [np.zeros(len(sp_val), dtype=np.uint8), np.ones(n_kmer, dtype=np.uint8)]
-    )
-    m_tie = np.concatenate([sp_k, np.zeros(n_kmer, dtype=np.uint64)])
-    morder = np.lexsort((m_tie, m_isnorm, m_aligned))
-    m_char = np.concatenate([sp_char, prev_char])[morder]
-    m_pos = np.concatenate([sp_pos_text, nk_pos_text])[morder]
-    row_char = np.concatenate([rowA_char, m_char])
-    row_pos = np.concatenate([rowA_pos, m_pos])
-    assert len(row_char) == n_rows
+    # (spkmer_cmp_l src/idx.c:856-881 + findInsertPos merge src/idx.c:309-331).
+    # One uint8 tie key encodes (is_normal, sp_pos): sp rows carry k in
+    # 1..30, normal rows 255 — same order as the 3-key lexsort since k < 255
+    # and normal kmers are unique (no normal-vs-normal ties).
+    n_sp = len(sp_val)
+    m_aligned = np.empty(n_sp + n_kmer, dtype=U64)
+    m_aligned[:n_sp] = sp_aligned
+    m_aligned[n_sp:] = kmer_v
+    m_tie = np.empty(n_sp + n_kmer, dtype=np.uint8)
+    m_tie[:n_sp] = sp_k.astype(np.uint8)
+    m_tie[n_sp:] = 255
+    del sp_val, sp_aligned, ek
+    morder = np.lexsort((m_tie, m_aligned))
+    row_char = np.empty(n_rows, dtype=np.uint8)
+    row_char[:n_uni] = rowA_char
+    np.take(np.concatenate([sp_char, prev_char]), morder,
+            out=row_char[n_uni:])
+    row_pos = np.empty(n_rows, dtype=np.int64)
+    row_pos[:n_uni] = rowA_pos
+    np.take(np.concatenate([sp_pos_text, nk_pos_text]), morder,
+            out=row_pos[n_uni:])
+    m_char = row_char[n_uni:]
+    m_pos = row_pos[n_uni:]
+    del sp_char, sp_pos_text, prev_char
     # row order sanity: positions form a permutation
     progress("BWT rows merged")
 
     # ---- hash13 (src/idx.c:333-343,944-961) --------------------------------
     # key per merged row: top 13 bases; sp rows with sp_pos < 13 have no key
-    m_key = (m_aligned >> U64((B_KMER - L_PRE_IDX) * 2))[morder]
-    m_haskey = (m_isnorm.astype(bool) | (m_tie >= U64(L_PRE_IDX)))[morder]
+    m_key = (m_aligned >> U64((B_KMER - L_PRE_IDX) * 2)).astype(
+        np.uint32)[morder]
+    m_haskey = (m_tie >= L_PRE_IDX)[morder]
+    del m_aligned, m_tie, morder
     # 2^26-entry working arrays: int32 unless rows exceed the int32 range
     # (RefSeq-"all" scale); the dense allocations dominate small builds
     rdt = np.int64 if n_uni + len(m_key) + 1 >= (1 << 31) else np.int32
@@ -426,6 +438,8 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     hash13 = np.empty(n_keys + 1, dtype=hdt)
     hash13[:n_keys] = np.where(present, first, prev_excl)
     hash13[n_keys] = prev_end[-1]
+    del (m_key, m_haskey, keys, krows, rows_b, first, last, uk, ui,
+         last_idx, present, ffill, idx_src, prev_end, prev_excl)
     progress("hash13")
 
     # ---- rank (src/bwt.c:133-137, load fixup src/bwt.c:81) -----------------
@@ -461,11 +475,20 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     ekmer0 = np.zeros(e_kmer_size, dtype=np.uint8)
     ekmer1 = np.zeros(e_kmer_size, dtype=np.uint8)
     m = valid_kmer_mask(text < 4, len_e_kmer)
-    ekv = rolling_kmers(np.minimum(text, 3), len_e_kmer)[m]
-    h1 = (hash64_1(ekv) & U64(e_hash_mask)).astype(np.int64)
-    h2 = (hash64_2(ekv) & U64(e_hash_mask)).astype(np.int64)
-    np.bitwise_or.at(ekmer0, h1 >> 3, (np.uint8(0x80) >> (h1 & 7).astype(np.uint8)))
-    np.bitwise_or.at(ekmer1, h2 >> 3, (np.uint8(0x80) >> (h2 & 7).astype(np.uint8)))
+    text3 = np.minimum(text, 3)
+    # chunked: the hash intermediates are ~33 bytes per text position.
+    # Bit-sets OR per bit lane with fancy |= (duplicates write the same
+    # value; ufunc.at is ~100x slower)
+    CH = 1 << 26
+    for lo in range(0, len(m), CH):
+        hi = min(len(m), lo + CH)
+        ekv = rolling_kmers(text3[lo : hi + len_e_kmer - 1],
+                            len_e_kmer)[m[lo:hi]]
+        h1 = (hash64_1(ekv) & U64(e_hash_mask)).astype(np.int64)
+        h2 = (hash64_2(ekv) & U64(e_hash_mask)).astype(np.int64)
+        for b in range(8):
+            ekmer0[(h1[(h1 & 7) == b]) >> 3] |= np.uint8(0x80 >> b)
+            ekmer1[(h2[(h2 & 7) == b]) >> 3] |= np.uint8(0x80 >> b)
     progress("existence filter")
 
     return IndexData(
