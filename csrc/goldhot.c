@@ -211,6 +211,31 @@ static inline uint64_t wang2(uint64_t k) {
     return k;
 }
 
+/* store_kmers_vals: rolling e-kmer values with the low-complexity
+ * zeroing (gold islands.store_kmers_mask; src/cly.c:360-398). */
+void store_kmers_vals(const uint8_t *bin_read, int64_t n_kmers,
+                      int64_t l_ek, int64_t single_base_max,
+                      uint64_t *out) {
+    if (n_kmers <= 0) return;
+    const uint64_t kmask =
+        l_ek >= 32 ? ~0ull : ((1ull << (2 * l_ek)) - 1);
+    uint64_t kv = 0;
+    int64_t cnt[4] = {0, 0, 0, 0};
+    for (int64_t j = 0; j < l_ek - 1; j++) {
+        kv = (kv << 2) | bin_read[j];
+        cnt[bin_read[j]]++;
+    }
+    for (int64_t i = 0; i < n_kmers; i++) {
+        uint8_t cin = bin_read[i + l_ek - 1];
+        kv = ((kv << 2) | cin) & kmask;
+        cnt[cin]++;
+        int bad = (cnt[0] >= single_base_max) | (cnt[1] >= single_base_max)
+                | (cnt[2] >= single_base_max) | (cnt[3] >= single_base_max);
+        out[i] = bad ? 0 : kv;
+        cnt[bin_read[i]]--;
+    }
+}
+
 void exist_hits(const uint8_t *bin_read, int64_t n_kmers, int64_t l_ek,
                 int64_t single_base_max, const uint8_t *ek0,
                 const uint8_t *ek1, uint64_t hash_mask, uint8_t *out) {
@@ -341,6 +366,299 @@ int64_t sdp_match(uint64_t q_bg, uint64_t q_ed,
         }
     }
     return need > n_out ? -need : n_out;
+}
+
+/* ---- map_seed (gold mapseed.map_seed; src/cly.c:706-939) --------------
+ * One MEM result -> scored anchors over every reference occurrence of
+ * the located unitig. The context block packs table pointers + scalars
+ * (python builds it once per engine; see gold/mapseed.py MapSeedCtx):
+ *   [0] row_char*  [1] occ*    [2] occ_stride [3] rank6*  [4] dollar_pos
+ *   [5] sa_mask    [6] row_pos*[7] uni_start* [8] uni_len*(u32)
+ *   [9] uni_ref_list*(u32)    [10] rp_global_off* [11] rp_ref_id*(i32)
+ *   [12] ref_off*  [13] text_len [14] n_uni  [15] ref_bin* [16] n_bases
+ *   [17] q_mem*    [18] q_lv*  [19] q_lv_stride [20] LV_L [21] MIN_S_1
+ *   [22] MIN_S_2   [23] MIN_UNI_L [24] LV_ERROR
+ * Anchor rows (11 cols): mtch, score, ll, le, rl, re, global_offset,
+ * ref_id, ref_offset, index_in_read, duplicate. out[0] = row count.
+ * Returns the map_seed score (python falls back when rows > cap,
+ * signalled by -1). */
+int64_t lv_extd(const uint8_t *ref, int64_t ref_length,
+                const uint8_t *query, int64_t query_length,
+                int64_t lv_error);
+
+typedef struct {
+    const uint8_t *row_char; const int64_t *occ; int64_t occ_stride;
+    const int64_t *rank6; int64_t dollar_pos; int64_t sa_mask;
+    const int64_t *row_pos; const int64_t *uni_start;
+    const uint32_t *uni_len; const uint32_t *uni_ref_list;
+    const int64_t *rp_global_off; const int32_t *rp_ref_id;
+    const int64_t *ref_off; int64_t text_len; int64_t n_uni;
+    const uint8_t *ref_bin; int64_t n_bases;
+    const int64_t *q_mem; const int64_t *q_lv; int64_t q_lv_stride;
+    int64_t lv_l, min_s_1, min_s_2, min_uni_l, lv_error;
+} MsCtx;
+
+static void ms_load(MsCtx *c, const int64_t *x) {
+    c->row_char = (const uint8_t *)x[0];
+    c->occ = (const int64_t *)x[1];
+    c->occ_stride = x[2];
+    c->rank6 = (const int64_t *)x[3];
+    c->dollar_pos = x[4];
+    c->sa_mask = x[5];
+    c->row_pos = (const int64_t *)x[6];
+    c->uni_start = (const int64_t *)x[7];
+    c->uni_len = (const uint32_t *)x[8];
+    c->uni_ref_list = (const uint32_t *)x[9];
+    c->rp_global_off = (const int64_t *)x[10];
+    c->rp_ref_id = (const int32_t *)x[11];
+    c->ref_off = (const int64_t *)x[12];
+    c->text_len = x[13];
+    c->n_uni = x[14];
+    c->ref_bin = (const uint8_t *)x[15];
+    c->n_bases = x[16];
+    c->q_mem = (const int64_t *)x[17];
+    c->q_lv = (const int64_t *)x[18];
+    c->q_lv_stride = x[19];
+    c->lv_l = x[20]; c->min_s_1 = x[21]; c->min_s_2 = x[22];
+    c->min_uni_l = x[23]; c->lv_error = x[24];
+}
+
+static int64_t ms_lf(const MsCtx *c, int64_t r, int *ch) {
+    int cc = c->row_char[r];
+    *ch = cc;
+    if (cc == 5)
+        return c->dollar_pos + c->rank6[5];
+    return c->occ[(int64_t)cc * c->occ_stride + r] + c->rank6[cc];
+}
+
+/* Locator.get_uni: SA sample -> (unitig, uni_offset, global ref pos) */
+static void ms_get_uni(const MsCtx *c, int64_t bwt_pos, int64_t search_l,
+                       int64_t *u_out, int64_t *off_out, int64_t *g_out) {
+    int64_t p1 = (c->row_pos[bwt_pos] - 1) % c->text_len;
+    if (p1 < 0) p1 += c->text_len;
+    /* searchsorted right over uni_start[1..n_uni] */
+    int64_t lo = 0, hi = c->n_uni;
+    while (lo < hi) { int64_t m = (lo + hi) >> 1;
+        if (c->uni_start[1 + m] <= p1) lo = m + 1; else hi = m; }
+    int64_t u = lo;
+    int64_t off = p1 - c->uni_start[u];
+    int64_t uni_offset = off + search_l + 1;
+    if (search_l > 0) {
+        while (uni_offset >= (int64_t)c->uni_len[u]) {
+            uni_offset -= (int64_t)c->uni_len[u] + 1;
+            u += 1;
+        }
+    } else if (uni_offset < 0) {
+        uni_offset &= 0xFFFFFFFFll;  /* uint32 wrap (cly.c:486) */
+    }
+    *u_out = u;
+    *off_out = uni_offset;
+    *g_out = c->rp_global_off[c->uni_ref_list[u]] + uni_offset;
+}
+
+/* qslice: GARBAGE (200) outside the F+R buffer (gold mapseed.qslice) */
+static void ms_qslice(const uint8_t *buf, int64_t buf_len, int64_t start,
+                      int64_t length, int step, uint8_t *out) {
+    for (int64_t k = 0; k < length; k++) {
+        int64_t i = start + step * k;
+        out[k] = (i >= 0 && i < buf_len) ? buf[i] : 200;
+    }
+}
+
+static void ms_get_ref(const MsCtx *c, int64_t offset, int64_t length,
+                       int forward, uint8_t *out) {
+    get_ref_bases(c->ref_bin, c->n_bases, offset, length, forward, out);
+}
+
+/* get_new_ed (gold mapseed.get_new_ed; src/cly.c:629-694) */
+static void ms_get_new_ed(const MsCtx *c, int64_t q_off, int64_t t_off,
+                          int64_t l_read, const uint8_t *buf,
+                          int64_t buf_len, int64_t base, int is_fwd,
+                          int64_t *ed_out, int64_t *len_out,
+                          int64_t *ext_out) {
+    uint8_t q[16], t[16];
+    int64_t l_mem_ext = 0, max_len, length;
+    if (is_fwd) {
+        if (q_off < 0) q_off = 0;
+        max_len = q_off;
+        length = max_len < 12 ? max_len : 12;
+        ms_qslice(buf, buf_len, base + q_off, length, -1, q);
+    } else {
+        max_len = l_read - q_off;
+        length = max_len < 12 ? max_len : 12;
+        ms_qslice(buf, buf_len, base + q_off, length, 1, q);
+    }
+    ms_get_ref(c, t_off, length, !is_fwd, t);
+    if (length > 0 && t[0] == q[0]) {
+        for (;;) {
+            int64_t mtc = 0;
+            while (mtc < length && t[mtc] == q[mtc]) mtc++;
+            if (mtc <= 0) break;
+            l_mem_ext += mtc;
+            max_len -= mtc;
+            length = max_len < 12 ? max_len : 12;
+            if (is_fwd) {
+                q_off -= mtc;
+                t_off -= mtc;
+                ms_qslice(buf, buf_len, base + q_off, length, -1, q);
+            } else {
+                t_off += mtc;
+                ms_qslice(buf, buf_len, base + q_off + l_mem_ext, length,
+                          1, q);
+            }
+            ms_get_ref(c, t_off, length, !is_fwd, t);
+            if (length <= 0) break;
+        }
+    }
+    *ed_out = lv_extd(t, length, q, length, c->lv_error);
+    *len_out = length;
+    *ext_out = l_mem_ext;
+}
+
+int64_t map_seed(const int64_t *ctx_block, const uint8_t *buf,
+                 int64_t buf_len, int64_t base, int64_t read_len,
+                 int64_t sp_in, int64_t read_offset, int64_t match_len,
+                 int64_t sa_sp, int64_t sa_sp_l,
+                 int64_t *out, int64_t out_cap) {
+    MsCtx C;
+    ms_load(&C, ctx_block);
+    const int64_t LVL = C.lv_l;
+    int64_t b_p = sp_in, q_off = read_offset, l_m = match_len;
+    int64_t uni = -1, u_off = 0, t_off = 0;
+    int64_t l_pre = 0, l_suf = 0, d_pre = 0, d_suf = 0;
+    int64_t s = 0, max_s = 0;
+    uint8_t q_pre[16], t_pre[40], q_suf[16], t_suf[16];
+    int64_t s_l = 0;
+
+    do {
+        /* step 1: prefix */
+        l_pre = q_off + 1 < LVL ? q_off + 1 : LVL;
+        ms_qslice(buf, buf_len, base + q_off, LVL, -1, q_pre);
+        int64_t n_walked = 0;
+        if (sa_sp >= 0) {
+            ms_get_uni(&C, sa_sp, sa_sp_l, &uni, &u_off, &t_off);
+        } else {
+            for (;;) {
+                if ((b_p & C.sa_mask) == 0) break;
+                int ch;
+                int64_t new_sp = ms_lf(&C, b_p, &ch);
+                if (ch == 4) break;
+                t_pre[n_walked++] = (uint8_t)ch;
+                s_l += 1;
+                b_p = new_sp;
+                if (s_l >= l_pre) break;
+            }
+            if ((b_p & C.sa_mask) == 0)
+                ms_get_uni(&C, b_p, s_l, &uni, &u_off, &t_off);
+            else
+                l_pre = s_l;
+        }
+        if (uni >= 0) {
+            if ((int64_t)C.uni_len[uni] < C.min_uni_l) break;
+            if (u_off < l_pre) l_pre = u_off;
+            ms_get_ref(&C, t_off - 1, l_pre, 0, t_pre);
+        }
+        /* else t_pre already holds the walked chars (first l_pre) */
+        d_pre = lv_extd(t_pre, l_pre, q_pre, l_pre, C.lv_error);
+        s = C.q_mem[l_m] + C.q_lv[d_pre * C.q_lv_stride + l_pre];
+        if (s < C.min_s_1 && l_pre == LVL && uni < 0) { s = 0; break; }
+        /* step 2: suffix */
+        if (uni < 0) {
+            while (b_p & C.sa_mask) {
+                int ch;
+                b_p = ms_lf(&C, b_p, &ch);
+                s_l += 1;
+            }
+            ms_get_uni(&C, b_p, s_l, &uni, &u_off, &t_off);
+            if ((int64_t)C.uni_len[uni] < C.min_uni_l) { s = 0; break; }
+        }
+        int64_t q_off_r = q_off + l_m + 1;
+        uint64_t a32 = (uint64_t)((int64_t)C.uni_len[uni] - u_off - l_m)
+                       & 0xFFFFFFFFull;
+        uint64_t b32 = (uint64_t)(read_len - q_off_r) & 0xFFFFFFFFull;
+        uint64_t l_max_suf = a32 < b32 ? a32 : b32;
+        if (l_max_suf != 0) {
+            l_suf = (int64_t)l_max_suf < LVL ? (int64_t)l_max_suf : LVL;
+            int64_t q_suf_i = q_off_r;
+            ms_get_ref(&C, t_off + l_m, l_suf, 1, t_suf);
+            ms_qslice(buf, buf_len, base + q_suf_i, l_suf, 1, q_suf);
+            if (l_suf > 0 && t_suf[0] == q_suf[0]) {
+                for (;;) {
+                    int64_t mtc = 0;
+                    while (mtc < l_suf && t_suf[mtc] == q_suf[mtc]) mtc++;
+                    if (mtc <= 0) break;
+                    l_m += mtc;
+                    s = C.q_mem[l_m] + C.q_lv[d_pre * C.q_lv_stride + l_pre];
+                    l_max_suf -= (uint64_t)mtc;
+                    l_suf = (int64_t)l_max_suf < LVL
+                            ? (int64_t)l_max_suf : LVL;
+                    q_suf_i += mtc;
+                    ms_get_ref(&C, t_off + l_m, l_suf, 1, t_suf);
+                    ms_qslice(buf, buf_len, base + q_suf_i, l_suf, 1,
+                              q_suf);
+                    if (l_suf <= 0) break;
+                }
+            }
+            d_suf = lv_extd(t_suf, l_suf, q_suf, l_suf, C.lv_error);
+            s += C.q_lv[d_suf * C.q_lv_stride + l_suf];
+        } else {
+            l_suf = d_suf = 0;
+        }
+        if (s <= C.min_s_2 && l_suf == LVL) { s = 0; break; }
+    } while (0);
+
+    int64_t n_out = 0;
+    out[0] = 0;
+    if (s > 0) {
+        int64_t rl_s = C.uni_ref_list[uni];
+        int64_t rl_e = C.uni_ref_list[uni + 1];
+        int ref_search_l = (l_pre < LVL) || (d_pre == 0);
+        int ref_search_r = (l_suf < LVL) || (d_suf == 0);
+        if (rl_e - rl_s > 50 && rl_e - rl_s >= 1000)
+            return 50;
+        for (int64_t ci = rl_s; ci < rl_e; ci++) {
+            int64_t a_mtch = l_m, a_score = s, a_ll = l_pre, a_le = d_pre,
+                    a_rl = l_suf, a_re = d_suf;
+            int64_t g_off = C.rp_global_off[ci];
+            int64_t l_m_ext_l = 0;
+            if (ref_search_l || ref_search_r) {
+                if (ref_search_l) {
+                    int64_t ed_l, len_l;
+                    ms_get_new_ed(&C, q_off, g_off + u_off - 1, read_len,
+                                  buf, buf_len, base, 1, &ed_l, &len_l,
+                                  &l_m_ext_l);
+                    a_ll = len_l;
+                    a_le = ed_l;
+                }
+                a_mtch = l_m + l_m_ext_l;
+                if (ref_search_r) {
+                    int64_t ed_r, len_r, ext_r;
+                    ms_get_new_ed(&C, q_off + l_m + 1, g_off + u_off + l_m,
+                                  read_len, buf, buf_len, base, 0, &ed_r,
+                                  &len_r, &ext_r);
+                    a_rl = len_r;
+                    a_re = ed_r;
+                    a_mtch += ext_r;
+                }
+                a_score = C.q_mem[a_mtch]
+                        + C.q_lv[a_le * C.q_lv_stride + a_ll]
+                        + C.q_lv[a_re * C.q_lv_stride + a_rl];
+                if (a_score < C.min_s_2) continue;
+            }
+            if (a_score > max_s) max_s = a_score;
+            if (n_out >= out_cap) return -1;
+            int64_t ref_id = C.rp_ref_id[ci];
+            int64_t global_offset = g_off + u_off - l_m_ext_l;
+            int64_t *row = out + 1 + 11 * n_out;
+            row[0] = a_mtch; row[1] = a_score; row[2] = a_ll; row[3] = a_le;
+            row[4] = a_rl; row[5] = a_re; row[6] = global_offset;
+            row[7] = ref_id; row[8] = global_offset - C.ref_off[ref_id];
+            row[9] = q_off + 1 - l_m_ext_l; row[10] = 0;
+            n_out++;
+            out[0] = n_out;
+        }
+    }
+    return max_s;
 }
 
 int64_t lv_extd(const uint8_t *ref, int64_t ref_length,

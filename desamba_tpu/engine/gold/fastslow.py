@@ -8,6 +8,7 @@ from ...constants import (
     MIN_MEM_LEN_SLOW,
     PRE_IDX_MASK,
 )
+from ...io import native
 from .fm import FM, SpSet, bwt_mem_search
 from .islands import SearchDir, store_kmers_mask
 from .mapseed import Locator, map_seed
@@ -18,6 +19,9 @@ def _read_kmers(sd: SearchDir, idx, read_len: int):
     """The e-kmer values for this direction (store_kmers output)."""
     l_ek = idx.len_e_kmer
     n_kmers = read_len - l_ek + 1
+    if native.available():
+        return native.store_kmers_vals(sd.bin_read, n_kmers, l_ek,
+                                       idx.single_base_max)
     return store_kmers_mask(sd.bin_read, n_kmers, l_ek, idx.single_base_max)
 
 

@@ -250,9 +250,63 @@ def get_new_ed(q_off: int, t_off: int, l_read: int, buf: np.ndarray,
     return e_d, length, l_mem_ext
 
 
+def _ms_ctx(idx, fm: FM, loc: Locator, q_mem, q_lv) -> np.ndarray:
+    """Context block for the native map_seed (csrc/goldhot.c ms_load)."""
+    key = (id(fm), id(q_mem))
+    cached = getattr(loc, "_ms_ctx_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    p = lambda a: a.ctypes.data
+    ctx = np.array([
+        p(fm.row_char), p(fm.occ_prefix), fm.occ_prefix.shape[1],
+        p(fm.rank), int(fm.dollar_pos), int(SA_MASK),
+        p(idx.row_pos), p(idx.uni_start), p(idx.uni_len),
+        p(idx.uni_ref_list), p(idx.rp_global_off), p(idx.rp_ref_id),
+        p(idx.ref_off), int(idx.text_len), int(idx.n_uni),
+        p(idx.ref_bin), len(idx.ref_bin) * 4,
+        p(q_mem), p(q_lv), q_lv.shape[1],
+        LV_L, MIN_S_1, MIN_S_2, MIN_UNI_L, LV_ERROR,
+    ], dtype=np.int64)
+    loc._ms_ctx_cache = (key, ctx)
+    return ctx
+
+
 def map_seed(idx, fm: FM, loc: Locator, q_mem, q_lv, m_r: MemRst,
              buf: np.ndarray, base: int, read_len: int, seed_id: int,
              direction: int, anchors: list, strain_mode_counts: list) -> int:
+    """src/cly.c:706-939. Appends Anchors; returns max anchor score.
+
+    Dispatches to the native port (csrc/goldhot.c map_seed) when built;
+    the python body below is the differential oracle
+    (tests/test_native_goldhot.py)."""
+    if native.available():
+        ctx = _ms_ctx(idx, fm, loc, q_mem, q_lv)
+        sa_sp = -1 if m_r.sa_sp == MAX_U64 else m_r.sa_sp
+        score, rows = native.map_seed(
+            ctx, buf, base, read_len, m_r.sp, m_r.read_offset,
+            m_r.match_len, sa_sp, m_r.sa_sp_l)
+        if rows is not None:
+            for k in range(len(rows)):
+                r = rows[k]
+                anchors.append(Anchor(
+                    mtch_len=int(r[0]), score=int(r[1]),
+                    left_len=int(r[2]), left_ed=int(r[3]),
+                    rigt_len=int(r[4]), rigt_ed=int(r[5]),
+                    direction=direction, global_offset=int(r[6]),
+                    ref_id=int(r[7]), ref_offset=int(r[8]),
+                    index_in_read=int(r[9]), chain_anchor_pre=None,
+                    seed_id=seed_id, chain_id=0, anchor_useless=False,
+                    duplicate=bool(r[10])))
+            return score
+        # fall through to the python body on row-cap overflow
+    return _map_seed_py(idx, fm, loc, q_mem, q_lv, m_r, buf, base,
+                        read_len, seed_id, direction, anchors,
+                        strain_mode_counts)
+
+
+def _map_seed_py(idx, fm: FM, loc: Locator, q_mem, q_lv, m_r: MemRst,
+                 buf: np.ndarray, base: int, read_len: int, seed_id: int,
+                 direction: int, anchors: list, strain_mode_counts: list) -> int:
     """src/cly.c:706-939. Appends Anchors; returns max anchor score."""
     ref_bin = idx.ref_bin
     b_p = m_r.sp

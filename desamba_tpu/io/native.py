@@ -64,6 +64,11 @@ def _build():
     lib.mem_run.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64]
+    lib.map_seed.restype = ctypes.c_int64
+    lib.map_seed.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
     lib.fm_mem_search.restype = ctypes.c_int64
     lib.fm_mem_search.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -71,6 +76,10 @@ def _build():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64]
+    lib.store_kmers_vals.restype = None
+    lib.store_kmers_vals.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p]
     lib.exist_hits.restype = None
     lib.exist_hits.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -181,6 +190,25 @@ def mem_run(qbuf: np.ndarray, qi: int, t: np.ndarray, ti: int,
                         len(t), ti, 1 if forward else 0, maxlen)
 
 
+_MS_OUT = np.empty(1 + 11 * 1100, np.int64)
+
+
+def map_seed(ctx: np.ndarray, buf: np.ndarray, base: int, read_len: int,
+             sp: int, read_offset: int, match_len: int, sa_sp: int,
+             sa_sp_l: int):
+    """Native map_seed (csrc/goldhot.c); == gold map_seed. Returns
+    (score, rows) where rows is an (n, 11) int64 view of anchor fields,
+    or (0, None) when the row cap overflowed (caller falls back)."""
+    out = _MS_OUT
+    score = _LIB.map_seed(ctx.ctypes.data, buf.ctypes.data, len(buf),
+                          base, read_len, sp, read_offset, match_len,
+                          sa_sp, sa_sp_l, out.ctypes.data, 1100)
+    if score == -1:
+        return 0, None
+    n = int(out[0])
+    return int(score), out[1 : 1 + 11 * n].reshape(n, 11)
+
+
 _FM_OUT = np.empty((64, 4), np.int64)
 
 
@@ -195,6 +223,17 @@ def fm_mem_search(fm_ptrs, string, str_i, pre_v, max_rst, l_min_mth,
         *fm_ptrs, string.ctypes.data, str_i, pre_v, max_rst, l_min_mth,
         l_max_mth, l_pre_idx, *spset_ptrs, out.ctypes.data, len(out))
     return out[:n]
+
+
+def store_kmers_vals(bin_read: np.ndarray, n_kmers: int, l_ek: int,
+                     single_base_max: int) -> np.ndarray:
+    """Native rolling e-kmer values (csrc/goldhot.c); == gold
+    store_kmers_mask."""
+    out = np.zeros(max(n_kmers, 0), np.uint64)
+    if n_kmers > 0:
+        _LIB.store_kmers_vals(bin_read.ctypes.data, n_kmers, l_ek,
+                              single_base_max, out.ctypes.data)
+    return out
 
 
 def exist_hits(bin_read: np.ndarray, n_kmers: int, l_ek: int,

@@ -134,3 +134,45 @@ def test_fm_mem_search_matches_python(small_my_index):
         assert [(r.match_len, r.sp, r.sa_sp, r.sa_sp_l) for r in out_py] \
             == [(r.match_len, r.sp, r.sa_sp, r.sa_sp_l) for r in out_nat]
         assert [int(x) for x in sp_py.items] == sp_nat.contents()
+
+
+def test_map_seed_and_kmers_match_python(small_my_index):
+    """classify_read anchors/chains with native map_seed + store_kmers ==
+    the pure-python path, on mutated reads from the synthetic index."""
+    import desamba_tpu.engine.gold.fastslow as fs
+    import desamba_tpu.engine.gold.mapseed as ms
+    from desamba_tpu.engine.gold.classify import ClassifyEngine, Options
+    from desamba_tpu.engine.gold.mapseed import get_ref
+
+    idx = small_my_index
+    eng = ClassifyEngine(idx, Options())
+    rng = np.random.default_rng(21)
+    total = int(idx.ref_off[-1] + idx.ref_len[-1])
+    reads = []
+    for i in range(12):
+        L = int(rng.integers(150, 900))
+        st = int(rng.integers(0, total - L))
+        seq = get_ref(idx.ref_bin, st, L, True).copy()
+        pos = rng.integers(0, L, size=L // 10)
+        seq[pos] = (seq[pos] + rng.integers(1, 4, size=len(pos))) % 4
+        reads.append("".join("ACGT"[c] for c in seq))
+
+    def run():
+        out = []
+        for i, s in enumerate(reads):
+            eng.state.max_read_l = 0
+            r = eng.classify_read(f"r{i}", s)
+            out.append([(c.ref_id, c.sum_score, c.t_st, c.t_ed, c.q_st,
+                         c.q_ed, c.anchor_number, c.primary)
+                        for c in r.chains])
+        return out
+
+    a = run()
+    stub = types.SimpleNamespace(available=lambda: False)
+    real_ms, real_fs = ms.native, fs.native
+    ms.native, fs.native = stub, stub
+    try:
+        b = run()
+    finally:
+        ms.native, fs.native = real_ms, real_fs
+    assert a == b
