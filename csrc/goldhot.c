@@ -12,6 +12,7 @@
  *   - when ref is shorter than query the operands swap.
  */
 #include <stdint.h>
+#include <stdlib.h>
 
 #define LV_MAX_E 8
 
@@ -396,6 +397,11 @@ typedef struct {
     const uint8_t *ref_bin; int64_t n_bases;
     const int64_t *q_mem; const int64_t *q_lv; int64_t q_lv_stride;
     int64_t lv_l, min_s_1, min_s_2, min_uni_l, lv_error;
+    /* classify_dir extras (ctx block slots 25..32) */
+    const uint32_t *hash13; int64_t pre_idx_mask;
+    int64_t mem_search_fast, min_mem_len_fast;
+    int64_t mem_search_slow, min_mem_len_slow;
+    int64_t l_ek, single_base_max, l_pre_idx;
 } MsCtx;
 
 static void ms_load(MsCtx *c, const int64_t *x) {
@@ -421,6 +427,12 @@ static void ms_load(MsCtx *c, const int64_t *x) {
     c->q_lv_stride = x[19];
     c->lv_l = x[20]; c->min_s_1 = x[21]; c->min_s_2 = x[22];
     c->min_uni_l = x[23]; c->lv_error = x[24];
+    c->hash13 = (const uint32_t *)x[25];
+    c->pre_idx_mask = x[26];
+    c->mem_search_fast = x[27]; c->min_mem_len_fast = x[28];
+    c->mem_search_slow = x[29]; c->min_mem_len_slow = x[30];
+    c->l_ek = x[31]; c->single_base_max = x[32];
+    c->l_pre_idx = x[33];
 }
 
 static int64_t ms_lf(const MsCtx *c, int64_t r, int *ch) {
@@ -515,13 +527,14 @@ static void ms_get_new_ed(const MsCtx *c, int64_t q_off, int64_t t_off,
     *ext_out = l_mem_ext;
 }
 
-int64_t map_seed(const int64_t *ctx_block, const uint8_t *buf,
-                 int64_t buf_len, int64_t base, int64_t read_len,
-                 int64_t sp_in, int64_t read_offset, int64_t match_len,
-                 int64_t sa_sp, int64_t sa_sp_l,
-                 int64_t *out, int64_t out_cap) {
-    MsCtx C;
-    ms_load(&C, ctx_block);
+static int64_t ms_map_seed_core(const MsCtx *Cp, const uint8_t *buf,
+                                int64_t buf_len, int64_t base,
+                                int64_t read_len, int64_t sp_in,
+                                int64_t read_offset, int64_t match_len,
+                                int64_t sa_sp, int64_t sa_sp_l,
+                                int64_t *rows, int64_t stride,
+                                int64_t cap, int64_t *n_io) {
+    const MsCtx C = *Cp;
     const int64_t LVL = C.lv_l;
     int64_t b_p = sp_in, q_off = read_offset, l_m = match_len;
     int64_t uni = -1, u_off = 0, t_off = 0;
@@ -607,8 +620,6 @@ int64_t map_seed(const int64_t *ctx_block, const uint8_t *buf,
         if (s <= C.min_s_2 && l_suf == LVL) { s = 0; break; }
     } while (0);
 
-    int64_t n_out = 0;
-    out[0] = 0;
     if (s > 0) {
         int64_t rl_s = C.uni_ref_list[uni];
         int64_t rl_e = C.uni_ref_list[uni + 1];
@@ -646,19 +657,172 @@ int64_t map_seed(const int64_t *ctx_block, const uint8_t *buf,
                 if (a_score < C.min_s_2) continue;
             }
             if (a_score > max_s) max_s = a_score;
-            if (n_out >= out_cap) return -1;
+            if (*n_io >= cap) { *n_io = -1; return 0; }
             int64_t ref_id = C.rp_ref_id[ci];
             int64_t global_offset = g_off + u_off - l_m_ext_l;
-            int64_t *row = out + 1 + 11 * n_out;
+            int64_t *row = rows + stride * (*n_io);
             row[0] = a_mtch; row[1] = a_score; row[2] = a_ll; row[3] = a_le;
             row[4] = a_rl; row[5] = a_re; row[6] = global_offset;
             row[7] = ref_id; row[8] = global_offset - C.ref_off[ref_id];
             row[9] = q_off + 1 - l_m_ext_l; row[10] = 0;
-            n_out++;
-            out[0] = n_out;
+            *n_io += 1;
         }
     }
     return max_s;
+}
+
+int64_t map_seed(const int64_t *ctx_block, const uint8_t *buf,
+                 int64_t buf_len, int64_t base, int64_t read_len,
+                 int64_t sp_in, int64_t read_offset, int64_t match_len,
+                 int64_t sa_sp, int64_t sa_sp_l,
+                 int64_t *out, int64_t out_cap) {
+    MsCtx C;
+    ms_load(&C, ctx_block);
+    int64_t n = 0;
+    int64_t s = ms_map_seed_core(&C, buf, buf_len, base, read_len, sp_in,
+                                 read_offset, match_len, sa_sp, sa_sp_l,
+                                 out + 1, 11, out_cap, &n);
+    if (n < 0) { out[0] = 0; return -1; }
+    out[0] = n;
+    return s;
+}
+
+/* classify_dir: one direction's fast or slow seeding ladder (gold
+ * fastslow.fast_classify / slow_classify; src/cly.c:1478-1611). Rolls
+ * the e-kmer values, walks the top (fast) / len>=3 (slow) islands with
+ * the adaptive stride, FM-MEM-probes, map_seeds every hit, and marks
+ * per-island useless anchors. Anchor rows are 13 cols: the 11 map_seed
+ * cols + seed_id + anchor_useless. Returns the row count (-1 = caller
+ * must fall back to python). */
+int64_t classify_dir(const int64_t *ctx_block, const uint8_t *buf,
+                     int64_t buf_len, int64_t base, int64_t read_len,
+                     const int32_t *seeds, int64_t n_seeds, int mode,
+                     int64_t *out, int64_t out_cap) {
+    MsCtx C;
+    ms_load(&C, ctx_block);
+    int64_t n_k = read_len - C.l_ek + 1;
+    int64_t n_out = 0;
+    if (n_k <= 0 || n_seeds == 0) return 0;
+    uint64_t *kmers = (uint64_t *)malloc((size_t)n_k * 8);
+    if (!kmers) return -1;
+    store_kmers_vals(buf + base, n_k, C.l_ek, C.single_base_max, kmers);
+    uint64_t spset[SPSET_CAP + 1];
+    int64_t spcount = 0;
+    int64_t fmrows[64 * 4];
+
+    if (mode == 0) { /* fast: top islands, adaptive stride */
+        int64_t min_index = C.min_mem_len_fast - C.l_ek;
+        int64_t si = -1;
+        while (si + 1 < n_seeds) {
+            si += 1;
+            const int32_t *sd = seeds + 3 * si;
+            if (!sd[2]) continue;
+            spcount = 0;
+            int64_t a_b = n_out;
+            int64_t j = sd[1] - 1;
+            int skip_next = 0;
+            while (j >= min_index) {
+                int64_t k_idx = sd[0] + j;
+                int64_t pre_v =
+                    (int64_t)(kmers[k_idx] & (uint64_t)C.pre_idx_mask);
+                int64_t s_idx = k_idx + C.l_ek - 1;
+                int64_t nm = fm_mem_search(
+                    C.row_char, C.occ, C.occ_stride, C.rank6, C.dollar_pos,
+                    C.sa_mask, C.hash13, buf + base, s_idx, pre_v,
+                    C.mem_search_fast, C.min_mem_len_fast - 1, s_idx,
+                    C.l_pre_idx, spset, &spcount, fmrows, 64);
+                if (nm == 0) { j -= 2; continue; }
+                j -= 3;
+                int64_t max_score = 0;
+                for (int64_t r = 0; r < nm; r++) {
+                    int64_t ml = fmrows[4 * r];
+                    int64_t sc = ms_map_seed_core(
+                        &C, buf, buf_len, base, read_len, fmrows[4 * r + 1],
+                        s_idx - ml, ml,
+                        fmrows[4 * r + 2], fmrows[4 * r + 3],
+                        out, 13, out_cap, &n_out);
+                    if (n_out < 0) { free(kmers); return -1; }
+                    if (sc > max_score) max_score = sc;
+                }
+                if (max_score > 35) j -= 7;
+                if (max_score > 256) {
+                    if (max_score > 512) skip_next = 1;
+                    break;
+                }
+            }
+            int64_t top = 35;
+            for (int64_t r = a_b; r < n_out; r++)
+                if (out[13 * r + 1] > top) top = out[13 * r + 1];
+            for (int64_t r = a_b; r < n_out; r++) {
+                out[13 * r + 11] = si;
+                out[13 * r + 12] = out[13 * r + 1] < top;
+            }
+            if (skip_next) si += 1;
+        }
+    } else { /* slow: all islands len>=3 (or first-top quirk), stride 2 */
+        int64_t min_match_len = C.min_mem_len_slow - 1 < C.l_ek + 1
+                                ? C.min_mem_len_slow - 1 : C.l_ek + 1;
+        for (int64_t si = 0; si < n_seeds; si++) {
+            const int32_t *sd = seeds + 3 * si;
+            if (sd[1] < 3 && !seeds[2])  /* FIRST seed's top (cly.c:1564) */
+                continue;
+            spcount = 0;
+            int64_t mem[512 * 5];
+            int64_t nmem = 0;
+            for (int64_t j = sd[1] - 1; j >= 1; j -= 2) {
+                int64_t k_idx = sd[0] + j;
+                int64_t pre_v =
+                    (int64_t)(kmers[k_idx] & (uint64_t)C.pre_idx_mask);
+                int64_t s_idx = k_idx + C.l_ek - 1;
+                int64_t nm = fm_mem_search(
+                    C.row_char, C.occ, C.occ_stride, C.rank6, C.dollar_pos,
+                    C.sa_mask, C.hash13, buf + base, s_idx, pre_v,
+                    C.mem_search_slow, min_match_len, s_idx,
+                    C.l_pre_idx, spset, &spcount, fmrows, 64);
+                for (int64_t r = 0; r < nm && nmem < 512; r++) {
+                    int64_t *m = mem + 5 * nmem++;
+                    m[0] = fmrows[4 * r];
+                    m[1] = fmrows[4 * r + 1];
+                    m[2] = fmrows[4 * r + 2];
+                    m[3] = fmrows[4 * r + 3];
+                    m[4] = s_idx - fmrows[4 * r];
+                }
+            }
+            if (nmem == 0) continue;
+            /* stable insertion sort, descending match_len (the python
+               oracle's sorted(key=-match_len)) */
+            for (int64_t i = 1; i < nmem; i++) {
+                int64_t key[5];
+                for (int k = 0; k < 5; k++) key[k] = mem[5 * i + k];
+                int64_t p = i - 1;
+                while (p >= 0 && mem[5 * p] < key[0]) {
+                    for (int k = 0; k < 5; k++)
+                        mem[5 * (p + 1) + k] = mem[5 * p + k];
+                    p--;
+                }
+                for (int k = 0; k < 5; k++) mem[5 * (p + 1) + k] = key[k];
+            }
+            int64_t a_b = n_out;
+            int64_t take = nmem < C.mem_search_slow ? nmem
+                           : C.mem_search_slow;
+            for (int64_t r = 0; r < take; r++) {
+                ms_map_seed_core(&C, buf, buf_len, base, read_len,
+                                 mem[5 * r + 1], mem[5 * r + 4],
+                                 mem[5 * r], mem[5 * r + 2], mem[5 * r + 3],
+                                 out, 13, out_cap, &n_out);
+                if (n_out < 0) { free(kmers); return -1; }
+            }
+            int64_t top = 35;
+            for (int64_t r = a_b; r < n_out; r++)
+                if (out[13 * r + 1] > top) top = out[13 * r + 1];
+            for (int64_t r = a_b; r < n_out; r++) {
+                out[13 * r + 11] = si;
+                out[13 * r + 12] = out[13 * r + 1] < top;
+            }
+        }
+    }
+    free(kmers);
+    return n_out;
 }
 
 int64_t lv_extd(const uint8_t *ref, int64_t ref_length,

@@ -1,6 +1,8 @@
 """Fast / slow seeding loops (src/cly.c:1478-1611)."""
 from __future__ import annotations
 
+import numpy as np
+
 from ...constants import (
     MEM_SEARCH_FAST,
     MEM_SEARCH_SLOW,
@@ -25,8 +27,36 @@ def _read_kmers(sd: SearchDir, idx, read_len: int):
     return store_kmers_mask(sd.bin_read, n_kmers, l_ek, idx.single_base_max)
 
 
+def _classify_dir_native(idx, fm, loc, q_mem, q_lv, sd, read_len,
+                         anchors, mode) -> bool:
+    """Run the whole island ladder natively; False -> python fallback."""
+    from .mapseed import Anchor, _ms_ctx
+
+    if len(sd.seeds) == 0:
+        return True
+    ctx = _ms_ctx(idx, fm, loc, q_mem, q_lv)
+    seeds = np.ascontiguousarray(np.array(sd.seeds, np.int32))
+    rows = native.classify_dir(ctx, sd.buf, sd.base, read_len, seeds, mode)
+    if rows is None:
+        return False
+    for k in range(len(rows)):
+        r = rows[k]
+        anchors.append(Anchor(
+            mtch_len=int(r[0]), score=int(r[1]), left_len=int(r[2]),
+            left_ed=int(r[3]), rigt_len=int(r[4]), rigt_ed=int(r[5]),
+            direction=sd.direction, global_offset=int(r[6]),
+            ref_id=int(r[7]), ref_offset=int(r[8]),
+            index_in_read=int(r[9]), chain_anchor_pre=None,
+            seed_id=int(r[11]), chain_id=0,
+            anchor_useless=bool(r[12]), duplicate=bool(r[10])))
+    return True
+
+
 def fast_classify(idx, fm: FM, loc: Locator, q_mem, q_lv, sd: SearchDir,
                   read_len: int, anchors: list, trace=None) -> int:
+    if trace is None and native.available() and _classify_dir_native(
+            idx, fm, loc, q_mem, q_lv, sd, read_len, anchors, 0):
+        return 0
     l_ek = idx.len_e_kmer
     min_index = MIN_MEM_LEN_FAST - l_ek
     kmers = _read_kmers(sd, idx, read_len)
@@ -83,6 +113,9 @@ def fast_classify(idx, fm: FM, loc: Locator, q_mem, q_lv, sd: SearchDir,
 
 def slow_classify(idx, fm: FM, loc: Locator, q_mem, q_lv, sd: SearchDir,
                   read_len: int, anchors: list) -> None:
+    if native.available() and _classify_dir_native(
+            idx, fm, loc, q_mem, q_lv, sd, read_len, anchors, 1):
+        return
     l_ek = idx.len_e_kmer
     kmers = _read_kmers(sd, idx, read_len)
     sp_set = SpSet()

@@ -150,12 +150,18 @@ def get_islands(read_seq: str, idx, *,
             hit = native.exist_hits(bin_read, n_kmers, l_ek,
                                     idx.single_base_max, idx.ekmer0,
                                     idx.ekmer1, idx.e_hash_mask)
+            rows, offs, counts, totals = native.islands_batch(
+                hit.view(np.uint8)[None, :],
+                np.array([n_kmers], np.int32),
+                np.array([direction], np.int32), STEP_EK, SEED_RANGE)
+            seeds = rows[int(offs[0]) : int(offs[0]) + int(counts[0])]
+            total = int(totals[0])
         else:
             kmers = store_kmers_mask(bin_read, n_kmers, l_ek,
                                      idx.single_base_max)
             hit = exist_mask(kmers, idx.ekmer0, idx.ekmer1, idx.e_hash_mask)
-        seeds = search_islands(hit, direction)
-        total = mark_top(seeds, n_kmers, direction)
+            seeds = search_islands(hit, direction)
+            total = mark_top(seeds, n_kmers, direction)
         dirs.append(SearchDir(seeds, bin_read, hit, direction, total, buf, base))
     if dirs[0].total_score < dirs[1].total_score:
         dirs = [dirs[1], dirs[0]]

@@ -256,6 +256,10 @@ def _ms_ctx(idx, fm: FM, loc: Locator, q_mem, q_lv) -> np.ndarray:
     cached = getattr(loc, "_ms_ctx_cache", None)
     if cached is not None and cached[0] == key:
         return cached[1]
+    from ...constants import (L_PRE_IDX, MEM_SEARCH_FAST, MEM_SEARCH_SLOW,
+                              MIN_MEM_LEN_FAST, MIN_MEM_LEN_SLOW,
+                              PRE_IDX_MASK)
+
     p = lambda a: a.ctypes.data
     ctx = np.array([
         p(fm.row_char), p(fm.occ_prefix), fm.occ_prefix.shape[1],
@@ -266,6 +270,9 @@ def _ms_ctx(idx, fm: FM, loc: Locator, q_mem, q_lv) -> np.ndarray:
         p(idx.ref_bin), len(idx.ref_bin) * 4,
         p(q_mem), p(q_lv), q_lv.shape[1],
         LV_L, MIN_S_1, MIN_S_2, MIN_UNI_L, LV_ERROR,
+        p(fm.hash13), PRE_IDX_MASK, MEM_SEARCH_FAST, MIN_MEM_LEN_FAST,
+        MEM_SEARCH_SLOW, MIN_MEM_LEN_SLOW, idx.len_e_kmer,
+        idx.single_base_max, L_PRE_IDX,
     ], dtype=np.int64)
     loc._ms_ctx_cache = (key, ctx)
     return ctx

@@ -64,6 +64,11 @@ def _build():
     lib.mem_run.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64]
+    lib.classify_dir.restype = ctypes.c_int64
+    lib.classify_dir.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int64]
     lib.map_seed.restype = ctypes.c_int64
     lib.map_seed.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -188,6 +193,24 @@ def mem_run(qbuf: np.ndarray, qi: int, t: np.ndarray, ti: int,
     """Native exact-match run (csrc/goldhot.c); == gold _mem_q."""
     return _LIB.mem_run(qbuf.ctypes.data, len(qbuf), qi, t.ctypes.data,
                         len(t), ti, 1 if forward else 0, maxlen)
+
+
+_CD_OUT = np.empty(13 * 8192, np.int64)
+
+
+def classify_dir(ctx: np.ndarray, buf: np.ndarray, base: int,
+                 read_len: int, seeds: np.ndarray, mode: int):
+    """Native fast/slow seeding ladder (csrc/goldhot.c classify_dir);
+    == gold fast_classify (mode 0) / slow_classify (mode 1). Returns an
+    (n, 13) int64 row view (11 map_seed cols + seed_id + useless) or
+    None when the caller must fall back."""
+    out = _CD_OUT
+    n = _LIB.classify_dir(ctx.ctypes.data, buf.ctypes.data, len(buf),
+                          base, read_len, seeds.ctypes.data, len(seeds),
+                          mode, out.ctypes.data, 8192)
+    if n < 0:
+        return None
+    return out[: 13 * n].reshape(n, 13)
 
 
 _MS_OUT = np.empty(1 + 11 * 1100, np.int64)

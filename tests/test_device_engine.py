@@ -142,6 +142,12 @@ def test_map_seed_lanes_parity(device_setup):
 
     MS.map_seed = wrap
     FS.map_seed = wrap
+    # force the instrumentable python ladder (the native classify_dir
+    # bypasses fastslow.map_seed entirely)
+    import types as _types
+    _stub = _types.SimpleNamespace(available=lambda: False)
+    _real_fs_native = FS.native
+    FS.native = _stub
     try:
         for r in reads:
             seq = "".join("ACGT"[c] for c in r)
@@ -152,6 +158,7 @@ def test_map_seed_lanes_parity(device_setup):
     finally:
         MS.map_seed = orig
         FS.map_seed = orig
+        FS.native = _real_fs_native
     assert calls, "no map_seed calls recorded"
 
     N = len(calls)
