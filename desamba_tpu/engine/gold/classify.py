@@ -142,7 +142,15 @@ def _classify_chunk(args):
     res = []
     for premax, name, seq, qual in chunk:
         eng.state.max_read_l = premax
-        res.append(eng.classify_read(name, seq, qual))
+        r = eng.classify_read(name, seq, qual)
+        # strip the anchor graph before pickling back: formatters read
+        # only len(anchors) and the chain scalar fields (io/sam.py), but
+        # chain_anchor_* links would drag every Anchor object through
+        # the pipe
+        r.anchors = [None] * len(r.anchors)
+        for c in r.chains:
+            c.chain_anchor_cur = None
+        res.append(r)
     return lo, res
 
 
