@@ -126,10 +126,65 @@ class ClassifyEngine:
             if both or not chains or (chains[0].anchor_number < 5 and super_repeat < 3):
                 slow_classify(idx, fm, loc, q_mem, q_lv, dirs[1], res.read_len, anchors)
                 resolve_tree(anchors, chains)
-        delete_small_score_rst(idx, chains, dirs, res.read_len, self.state,
-                               self.opts)
-        detect_primary(chains, res.read_len)
+        if not self._finish_native(chains, dirs, res.read_len):
+            delete_small_score_rst(idx, chains, dirs, res.read_len,
+                                   self.state, self.opts)
+            detect_primary(chains, res.read_len)
         return res
+
+    def _finish_native(self, chains, dirs, read_len) -> bool:
+        """delete_small_score_rst + detect_primary via csrc/rescorehot.c;
+        False -> caller runs the python oracle path."""
+        from ...io import native
+
+        if not chains or not native.available():
+            return False
+        import numpy as np
+
+        from ...constants import (FORWARD, S_A_KMER_L, MIN_SCORE_MEM,
+                                  OVER_SEARCH_M2, FILTER_MIN_SCORE_2G,
+                                  FILTER_MIN_SCORE_SHORT_3G)
+        from .chain import Chain
+
+        idx = self.idx
+        nc = len(chains)
+        rows = np.zeros((nc, 14), np.int64)
+        anc = []
+        for i, c in enumerate(chains):
+            a = c.chain_anchor_cur
+            off = len(anc)
+            while a is not None:
+                anc.append((a.mtch_len, a.ref_offset, a.index_in_read))
+                a = a.chain_anchor_pre
+            rows[i] = (c.ref_id, c.sum_score, c.anchor_number, c.direction,
+                       int(c.with_top_anchor), c.t_st, c.t_ed, c.q_st,
+                       c.q_ed, c.indel, off, len(anc) - off, 0, 0)
+        anc3 = (np.array(anc, np.int64) if anc
+                else np.zeros((1, 3), np.int64))
+        buf = dirs[0].buf
+        eff = max(self.state.max_read_l, read_len)
+        params = np.array([
+            idx.ref_bin.ctypes.data, len(idx.ref_bin) * 4,
+            idx.ref_off.ctypes.data, idx.ref_len.ctypes.data,
+            buf.ctypes.data, len(buf), read_len, FORWARD, eff,
+            self.opts.filter_min_score_lv3, self.opts.filter_min_length,
+            self.opts.filter_min_score, S_A_KMER_L, OVER_SEARCH_M2,
+            MIN_SCORE_MEM, FILTER_MIN_SCORE_2G, FILTER_MIN_SCORE_SHORT_3G,
+            0,  # params[17]: reserved (debug hook)
+        ], np.int64)
+        n = native.rescore_finish(params, rows, anc3)
+        if n < 0:
+            return False
+        self.state.max_read_l = eff
+        chains[:] = [Chain(
+            ref_id=int(r[0]), q_t_dis=0, sum_score=int(r[1]),
+            anchor_number=int(r[2]), direction=int(r[3]),
+            with_top_anchor=bool(r[4]), primary=int(r[12]),
+            pri_index=int(r[13]), t_st=int(r[5]), t_ed=int(r[6]),
+            q_st=int(r[7]), q_ed=int(r[8]), indel=int(r[9]),
+            chain_id=i, chain_anchor_cur=None)
+            for i, r in enumerate(rows[:n])]
+        return True
 
 
 # ---- process-parallel driver (fork; index shared copy-on-write) ------------

@@ -70,10 +70,11 @@ def fast_classify(idx, fm: FM, loc: Locator, q_mem, q_lv, sd: SearchDir,
             continue
         sp_set.reset()
         a_b_idx = len(anchors)
-        j = seed[1] - 1
+        s_off, s_len = int(seed[0]), int(seed[1])  # np.int32 rows wrap
+        j = s_len - 1
         skip_next = False
         while j >= min_index:
-            kmer_index = seed[0] + j
+            kmer_index = s_off + j
             pre_v = int(kmers[kmer_index]) & PRE_IDX_MASK
             string_index = kmer_index + l_ek - 1
             m_r = []
@@ -128,9 +129,10 @@ def slow_classify(idx, fm: FM, loc: Locator, q_mem, q_lv, sd: SearchDir,
         min_match_len = min(MIN_MEM_LEN_SLOW - 1, l_ek + 1)
         sp_set.reset()
         mem_rst = []
-        j = seed[1] - 1
+        s_off = int(seed[0])
+        j = int(seed[1]) - 1
         while j >= 1:
-            k_idx = seed[0] + j
+            k_idx = s_off + j
             pre_v = int(kmers[k_idx]) & PRE_IDX_MASK
             s_idx = k_idx + l_ek - 1
             n0 = len(mem_rst)

@@ -17,7 +17,7 @@ import numpy as np
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "csrc")
 _SRCS = [os.path.join(_CSRC, "fastx.c"), os.path.join(_CSRC, "islands.c"),
-         os.path.join(_CSRC, "goldhot.c")]
+         os.path.join(_CSRC, "goldhot.c"), os.path.join(_CSRC, "rescorehot.c")]
 _LIB = None
 _TRIED = False
 
@@ -64,6 +64,9 @@ def _build():
     lib.mem_run.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64]
+    lib.rescore_finish.restype = ctypes.c_int64
+    lib.rescore_finish.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     lib.classify_dir.restype = ctypes.c_int64
     lib.classify_dir.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -193,6 +196,15 @@ def mem_run(qbuf: np.ndarray, qi: int, t: np.ndarray, ti: int,
     """Native exact-match run (csrc/goldhot.c); == gold _mem_q."""
     return _LIB.mem_run(qbuf.ctypes.data, len(qbuf), qi, t.ctypes.data,
                         len(t), ti, 1 if forward else 0, maxlen)
+
+
+def rescore_finish(params: np.ndarray, chains: np.ndarray,
+                   anc3: np.ndarray) -> int:
+    """Native delete_small_score_rst + detect_primary
+    (csrc/rescorehot.c); chains (nc, 14) rewritten in place. Returns the
+    final chain count or -1 (caller falls back)."""
+    return _LIB.rescore_finish(params.ctypes.data, chains.ctypes.data,
+                               len(chains), anc3.ctypes.data)
 
 
 _CD_OUT = np.empty(13 * 8192, np.int64)
