@@ -76,21 +76,49 @@ static int spset_insert(uint64_t *set, int64_t *cnt, uint64_t node) {
     return 1;
 }
 
+/* Blocked FM table (the reference's bwt.c layout, re-derived): 168-byte
+ * blocks of 256 rows = 5 x int64 cumulative char counts at block start
+ * + 256 nibbles (char per row, low nibble first). The whole demo-scale
+ * FM fits in L2/L3 (11.8M rows -> 7.7 MB vs a 472 MB flat occ), which
+ * is where the reference's serial speed comes from. */
+static inline int64_t blk_occ(const uint8_t *blk, int64_t r, int c) {
+    const uint8_t *b = blk + (r >> 8) * 168;
+    int64_t base = ((const int64_t *)b)[c];
+    const uint8_t *nib = b + 40;
+    int64_t off = r & 255;
+    int64_t cnt = 0;
+    const uint64_t dupc = 0x1111111111111111ull * (uint64_t)c;
+    int64_t full = off >> 4;
+    const uint64_t *w = (const uint64_t *)nib;
+    for (int64_t k = 0; k < full; k++) {
+        uint64_t t = w[k] ^ dupc;
+        t = (t | (t >> 1) | (t >> 2) | (t >> 3)) & 0x1111111111111111ull;
+        cnt += 16 - __builtin_popcountll(t);
+    }
+    for (int64_t i = full << 4; i < off; i++)
+        cnt += (((nib[i >> 1] >> ((i & 1) * 4)) & 0xF) == c);
+    return base + cnt;
+}
+
+static inline int blk_char(const uint8_t *blk, int64_t r) {
+    const uint8_t *nib = blk + (r >> 8) * 168 + 40;
+    int64_t off = r & 255;
+    return (nib[off >> 1] >> ((off & 1) * 4)) & 0xF;
+}
+
 typedef struct {
-    const uint8_t *row_char;
-    const int64_t *occ;
-    int64_t occ_stride;
+    const uint8_t *blocks;
     const int64_t *rank6;
     int64_t dollar_pos;
     int64_t sa_mask;
 } FmTab;
 
 static int64_t fm_lf(const FmTab *fm, int64_t r, int *c_out) {
-    int c = fm->row_char[r];
+    int c = blk_char(fm->blocks, r);
     *c_out = c;
     if (c == 5)  /* '$' */
         return fm->dollar_pos + fm->rank6[5];
-    return fm->occ[(int64_t)c * fm->occ_stride + r] + fm->rank6[c];
+    return blk_occ(fm->blocks, r, c) + fm->rank6[c];
 }
 
 static void fm_single(const FmTab *fm, int64_t sp, const uint8_t *string,
@@ -120,8 +148,7 @@ static void fm_single(const FmTab *fm, int64_t sp, const uint8_t *string,
     *sa_sp_l_out = sa_sp_l;
 }
 
-int64_t fm_mem_search(const uint8_t *row_char, const int64_t *occ,
-                      int64_t occ_stride, const int64_t *rank6,
+int64_t fm_mem_search(const uint8_t *blocks, const int64_t *rank6,
                       int64_t dollar_pos, int64_t sa_mask,
                       const uint32_t *hash13,
                       const uint8_t *string, int64_t str_i, int64_t pre_v,
@@ -129,7 +156,7 @@ int64_t fm_mem_search(const uint8_t *row_char, const int64_t *occ,
                       int64_t l_pre_idx,
                       uint64_t *spset, int64_t *spcount,
                       int64_t *out, int64_t out_cap) {
-    FmTab fm = {row_char, occ, occ_stride, rank6, dollar_pos, sa_mask};
+    FmTab fm = {blocks, rank6, dollar_pos, sa_mask};
     int64_t sp = hash13[pre_v];
     int64_t ep = hash13[pre_v + 1];
     str_i -= l_pre_idx;
@@ -140,8 +167,8 @@ int64_t fm_mem_search(const uint8_t *row_char, const int64_t *occ,
         str_i -= 1;
         if (c < 0) { new_sp = new_ep = 0; }
         else {
-            new_sp = rank6[c] + occ[c * occ_stride + sp];
-            new_ep = rank6[c] + occ[c * occ_stride + ep];
+            new_sp = rank6[c] + blk_occ(blocks, sp, (int)c);
+            new_ep = rank6[c] + blk_occ(blocks, ep, (int)c);
         }
         if (match_len >= l_min_mth - 1) {
             if (new_sp + max_rst >= new_ep) break;
@@ -268,6 +295,132 @@ void exist_hits(const uint8_t *bin_read, int64_t n_kmers, int64_t l_ek,
     }
 }
 
+/* lazy_islands: the reference's island walk with on-demand probes
+ * (gold islands.search_islands + mark_top over exist_hits;
+ * src/cly.c:1071-1234). Only ~1/3 of positions get hashed (stride-3
+ * walk + local expansion) instead of the full mask. Emits
+ * [offset, len, top] int32 rows; returns the count and writes the
+ * direction total_score. */
+static int lz_probe(const uint8_t *br, int64_t i, int64_t l_ek,
+                    int64_t sbm, const uint8_t *ek0, const uint8_t *ek1,
+                    uint64_t hmask) {
+    uint64_t kv = 0;
+    int64_t cnt[4] = {0, 0, 0, 0};
+    for (int64_t j = 0; j < l_ek; j++) {
+        kv = (kv << 2) | br[i + j];
+        cnt[br[i + j]]++;
+    }
+    if (l_ek < 32) kv &= (1ull << (2 * l_ek)) - 1;
+    if (kv == 0) return 0;
+    if (cnt[0] >= sbm || cnt[1] >= sbm || cnt[2] >= sbm || cnt[3] >= sbm)
+        return 0;
+    uint64_t h1 = wang1(kv) & hmask;
+    if (!((ek0[h1 >> 3] >> (7 - (h1 & 7))) & 1)) return 0;
+    uint64_t h2 = wang2(kv) & hmask;
+    return (ek1[h2 >> 3] >> (7 - (h2 & 7))) & 1;
+}
+
+int64_t lazy_islands(const uint8_t *bin_read, int64_t n_kmers,
+                     int64_t l_ek, int64_t single_base_max,
+                     const uint8_t *ek0, const uint8_t *ek1,
+                     uint64_t hash_mask, int64_t step_ek,
+                     int64_t seed_range, int forward,
+                     int32_t *seeds_out, int64_t cap,
+                     int64_t *total_out) {
+    int64_t ns = 0;
+    const int64_t n = n_kmers;
+#define PROBE(ix) lz_probe(bin_read, (ix), l_ek, single_base_max, ek0, \
+                           ek1, hash_mask)
+    if (forward) {
+        int64_t i = step_ek - 1;
+        while (i < n) {
+            if (PROBE(i)) {
+                int64_t offset = i, length = 1;
+                for (int64_t j = 1; j < step_ek; j++) {
+                    if (i - j >= 0 && PROBE(i - j)) {
+                        offset -= 1;
+                        length += 1;
+                    } else {
+                        break;
+                    }
+                }
+                for (int64_t j = 1; i + j < n; j++) {
+                    if (PROBE(i + j)) {
+                        length += 1;
+                        if (length > 60) break;
+                    } else {
+                        break;
+                    }
+                }
+                if (ns >= cap) return -1;
+                seeds_out[3 * ns] = (int32_t)offset;
+                seeds_out[3 * ns + 1] = (int32_t)length;
+                seeds_out[3 * ns + 2] = 0;
+                ns++;
+                i = offset + length;
+            }
+            i += step_ek;
+        }
+    } else {
+        int64_t i = n - step_ek;
+        while (i >= 0) {
+            if (PROBE(i)) {
+                int64_t offset = i, length = 1;
+                for (int64_t j = 1; j < step_ek; j++) {
+                    if (i + j < n && PROBE(i + j)) {
+                        offset += 1;
+                        length += 1;
+                    } else {
+                        break;
+                    }
+                }
+                for (int64_t j = 1; j <= i; j++) {
+                    if (PROBE(i - j)) {
+                        length += 1;
+                        if (length > 60) break;
+                    } else {
+                        break;
+                    }
+                }
+                if (ns >= cap) return -1;
+                seeds_out[3 * ns] = (int32_t)(offset - length + 1);
+                seeds_out[3 * ns + 1] = (int32_t)length;
+                seeds_out[3 * ns + 2] = 0;
+                ns++;
+                i = offset - length;
+            }
+            i -= step_ek;
+        }
+    }
+#undef PROBE
+    /* mark_top (gold islands.mark_top; src/cly.c:1174-1226) */
+    int64_t total_score = 0;
+    int64_t max_index = 0, max_length = 0, index_end = seed_range;
+    for (int64_t m = 0; m < ns; m++) {
+        int32_t *s = seeds_out + 3 * m;
+        s[2] = 0;
+        int64_t key = forward ? s[0] : n - s[0] - s[1];
+        if (key < index_end) {
+            if (max_length < s[1]) {
+                max_length = s[1];
+                max_index = m;
+            }
+            seeds_out[3 * max_index + 2] = 0;
+        } else {
+            seeds_out[3 * max_index + 2] = 1;
+            index_end += seed_range;
+            total_score += max_length;
+            max_index = m;
+            max_length = s[1];
+        }
+    }
+    if (ns)
+        seeds_out[3 * max_index + 2] = 1;
+    total_score += max_length;
+    *total_out = total_score;
+    return ns;
+}
+
 /* sdp_match: 9-mer seeded match harvest over one reference window
  * (gold rescore.sdp_match; src/cly.c:2335-2440). Probes the window's
  * 9-mers every 4th position against the read's sorted 9-mer table,
@@ -388,7 +541,7 @@ int64_t lv_extd(const uint8_t *ref, int64_t ref_length,
                 int64_t lv_error);
 
 typedef struct {
-    const uint8_t *row_char; const int64_t *occ; int64_t occ_stride;
+    const uint8_t *fm_blocks; int64_t occ_stride_unused;
     const int64_t *rank6; int64_t dollar_pos; int64_t sa_mask;
     const int64_t *row_pos; const int64_t *uni_start;
     const uint32_t *uni_len; const uint32_t *uni_ref_list;
@@ -405,9 +558,8 @@ typedef struct {
 } MsCtx;
 
 static void ms_load(MsCtx *c, const int64_t *x) {
-    c->row_char = (const uint8_t *)x[0];
-    c->occ = (const int64_t *)x[1];
-    c->occ_stride = x[2];
+    c->fm_blocks = (const uint8_t *)x[0];
+    c->occ_stride_unused = x[2];
     c->rank6 = (const int64_t *)x[3];
     c->dollar_pos = x[4];
     c->sa_mask = x[5];
@@ -436,11 +588,11 @@ static void ms_load(MsCtx *c, const int64_t *x) {
 }
 
 static int64_t ms_lf(const MsCtx *c, int64_t r, int *ch) {
-    int cc = c->row_char[r];
+    int cc = blk_char(c->fm_blocks, r);
     *ch = cc;
     if (cc == 5)
         return c->dollar_pos + c->rank6[5];
-    return c->occ[(int64_t)cc * c->occ_stride + r] + c->rank6[cc];
+    return blk_occ(c->fm_blocks, r, cc) + c->rank6[cc];
 }
 
 /* Locator.get_uni: SA sample -> (unitig, uni_offset, global ref pos) */
@@ -727,7 +879,7 @@ int64_t classify_dir(const int64_t *ctx_block, const uint8_t *buf,
                     (int64_t)(kmers[k_idx] & (uint64_t)C.pre_idx_mask);
                 int64_t s_idx = k_idx + C.l_ek - 1;
                 int64_t nm = fm_mem_search(
-                    C.row_char, C.occ, C.occ_stride, C.rank6, C.dollar_pos,
+                    C.fm_blocks, C.rank6, C.dollar_pos,
                     C.sa_mask, C.hash13, buf + base, s_idx, pre_v,
                     C.mem_search_fast, C.min_mem_len_fast - 1, s_idx,
                     C.l_pre_idx, spset, &spcount, fmrows, 64);
@@ -775,7 +927,7 @@ int64_t classify_dir(const int64_t *ctx_block, const uint8_t *buf,
                     (int64_t)(kmers[k_idx] & (uint64_t)C.pre_idx_mask);
                 int64_t s_idx = k_idx + C.l_ek - 1;
                 int64_t nm = fm_mem_search(
-                    C.row_char, C.occ, C.occ_stride, C.rank6, C.dollar_pos,
+                    C.fm_blocks, C.rank6, C.dollar_pos,
                     C.sa_mask, C.hash13, buf + base, s_idx, pre_v,
                     C.mem_search_slow, min_match_len, s_idx,
                     C.l_pre_idx, spset, &spcount, fmrows, 64);

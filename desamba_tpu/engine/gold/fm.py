@@ -60,22 +60,56 @@ class MemRst:
     read_offset: int = 0
 
 
+def build_fm_blocks(row_char: np.ndarray) -> np.ndarray:
+    """Blocked FM table for the native search (csrc/goldhot.c blk_occ):
+    168-byte blocks of 256 rows = 5 x int64 cumulative counts at block
+    start + 256 nibbles (low nibble first). ~0.66 B/row, so the whole
+    table is cache-resident (the flat occ_prefix is 40 B/row)."""
+    n = len(row_char)
+    # one extra block so rank queries at r == n_rows (the hash13 end
+    # sentinel) stay in range
+    nb = n // 256 + 1
+    rcp = np.full(nb * 256, 15, np.uint8)
+    rcp[:n] = row_char
+    blocks = np.zeros((nb, 168), np.uint8)
+    counts = blocks[:, :40].view(np.int64).reshape(nb, 5)
+    for c in range(5):
+        pbc = (rcp == c).reshape(nb, 256).sum(axis=1)
+        counts[:, c] = np.concatenate([[0], np.cumsum(pbc)[:-1]])
+    nib = rcp[0::2] | (rcp[1::2] << 4)
+    blocks[:, 40:] = nib.reshape(nb, 128)
+    return blocks.reshape(-1)
+
+
 class FM:
     """Rank/occ over the index's row arrays."""
 
     def __init__(self, idx):
+        self.idx = idx
         self.row_char = idx.row_char
-        self.occ_prefix = idx.build_occ_prefix()
         self.rank = idx.rank
         self.hash13 = idx.hash13
         self.dollar_pos = idx.dollar_pos
+        if native.available():
+            self.blocks = build_fm_blocks(idx.row_char)
+            self._occ_prefix = None
+        else:
+            self.blocks = None
+            self._occ_prefix = idx.build_occ_prefix()
         # pinned table pointers for the native search (pointer property
         # lookups cost ~1 us each; the tables never move)
-        self.nat_ptrs = (self.row_char.ctypes.data,
-                         self.occ_prefix.ctypes.data,
-                         self.occ_prefix.shape[1], self.rank.ctypes.data,
-                         int(self.dollar_pos), int(SA_MASK),
-                         self.hash13.ctypes.data)
+        self.nat_ptrs = (
+            (self.blocks.ctypes.data, self.rank.ctypes.data,
+             int(self.dollar_pos), int(SA_MASK), self.hash13.ctypes.data)
+            if self.blocks is not None else None)
+
+    @property
+    def occ_prefix(self):
+        """Flat cumulative occ for the python oracle path (lazy: the
+        native path uses the blocked table instead)."""
+        if self._occ_prefix is None:
+            self._occ_prefix = self.idx.build_occ_prefix()
+        return self._occ_prefix
 
     def lf(self, r: int):
         """One LF step reading the char at r: returns (new_row, char).
@@ -129,7 +163,7 @@ def bwt_mem_search(fm: FM, string: np.ndarray, str_i: int, pre_v: int,
     Appends MemRst entries to out; returns count appended.
     """
     n0 = len(out)
-    if native.available():
+    if native.available() and fm.nat_ptrs is not None:
         rows = native.fm_mem_search(
             fm.nat_ptrs, string, str_i, pre_v, max_rst, l_min_mth,
             l_max_mth, L_PRE_IDX, sp_set.nat_ptrs)

@@ -147,15 +147,11 @@ def get_islands(read_seq: str, idx, *,
     for base, direction in ((0, FORWARD), (read_len, REVERSE)):
         bin_read = buf[base : base + read_len]
         if native.available():
-            hit = native.exist_hits(bin_read, n_kmers, l_ek,
-                                    idx.single_base_max, idx.ekmer0,
-                                    idx.ekmer1, idx.e_hash_mask)
-            rows, offs, counts, totals = native.islands_batch(
-                hit.view(np.uint8)[None, :],
-                np.array([n_kmers], np.int32),
-                np.array([direction], np.int32), STEP_EK, SEED_RANGE)
-            seeds = rows[int(offs[0]) : int(offs[0]) + int(counts[0])]
-            total = int(totals[0])
+            seeds, total = native.lazy_islands(
+                bin_read, n_kmers, l_ek, idx.single_base_max, idx.ekmer0,
+                idx.ekmer1, idx.e_hash_mask, STEP_EK, SEED_RANGE,
+                direction == FORWARD)
+            hit = None
         else:
             kmers = store_kmers_mask(bin_read, n_kmers, l_ek,
                                      idx.single_base_max)

@@ -262,7 +262,7 @@ def _ms_ctx(idx, fm: FM, loc: Locator, q_mem, q_lv) -> np.ndarray:
 
     p = lambda a: a.ctypes.data
     ctx = np.array([
-        p(fm.row_char), p(fm.occ_prefix), fm.occ_prefix.shape[1],
+        p(fm.blocks), 0, 0,
         p(fm.rank), int(fm.dollar_pos), int(SA_MASK),
         p(idx.row_pos), p(idx.uni_start), p(idx.uni_len),
         p(idx.uni_ref_list), p(idx.rp_global_off), p(idx.rp_ref_id),

@@ -79,14 +79,20 @@ def _build():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
     lib.fm_mem_search.restype = ctypes.c_int64
     lib.fm_mem_search.argtypes = [
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_int64]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64]
     lib.store_kmers_vals.restype = None
     lib.store_kmers_vals.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p]
+    lib.lazy_islands.restype = ctypes.c_int64
+    lib.lazy_islands.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p]
     lib.exist_hits.restype = None
     lib.exist_hits.argtypes = [
@@ -269,6 +275,27 @@ def store_kmers_vals(bin_read: np.ndarray, n_kmers: int, l_ek: int,
         _LIB.store_kmers_vals(bin_read.ctypes.data, n_kmers, l_ek,
                               single_base_max, out.ctypes.data)
     return out
+
+
+_LZ_TOTAL = np.zeros(1, np.int64)
+
+
+def lazy_islands(bin_read: np.ndarray, n_kmers: int, l_ek: int,
+                 single_base_max: int, ek0: np.ndarray, ek1: np.ndarray,
+                 hash_mask: int, step_ek: int, seed_range: int,
+                 forward: bool):
+    """Native stride-3 island walk with on-demand existence probes
+    (csrc/goldhot.c); == gold exist_hits + search_islands + mark_top.
+    Returns (seeds (n, 3) int32 copy, total_score)."""
+    cap = max(64, n_kmers // 2 + 4)
+    out = np.empty((cap, 3), np.int32)
+    n = _LIB.lazy_islands(bin_read.ctypes.data, n_kmers, l_ek,
+                          single_base_max, ek0.ctypes.data,
+                          ek1.ctypes.data, hash_mask, step_ek, seed_range,
+                          1 if forward else 0, out.ctypes.data, cap,
+                          _LZ_TOTAL.ctypes.data)
+    assert n >= 0, "lazy_islands cap"
+    return out[:n], int(_LZ_TOTAL[0])
 
 
 def exist_hits(bin_read: np.ndarray, n_kmers: int, l_ek: int,
