@@ -482,6 +482,11 @@ int64_t rescore_finish(const int64_t *params, int64_t *chains_io,
         ch[i] = (RChain){r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7],
                          r[8], r[9], r[10], r[11], 0, 0};
     }
+    /* mode 1 (params[17]): post_rescore_finish + detect_primary only —
+       the device engine computes sum_score on the TPU and needs just
+       the merge/filter/primary host finish */
+    int post_only = params[17] == 1;
+    if (post_only) goto post;
     /* truncate_chains (src/cly.c:2891-2897) */
     if (nc > 200) {
         int64_t rst = 200;
@@ -528,6 +533,7 @@ int64_t rescore_finish(const int64_t *params, int64_t *chains_io,
         if (C.overflow) goto fail;
         ch[i].sum_score = score;
     }
+post:
     /* post_rescore_finish: stable position sort (ref asc, t_st asc,
        score desc) — insertion sort keeps ties stable */
     for (int64_t i = 1; i < nc; i++) {

@@ -577,6 +577,11 @@ class DeviceClassifier:
                     q_ed=coord(row[dr.C_QED]), indel=int(row[dr.C_INDEL]),
                     chain_id=ci, chain_anchor_cur=None))
             res.chains = chains
+            from ..gold.rescore import post_finish_native
+            if res.chains and post_finish_native(self.idx, res.chains,
+                                                 read_lens[i], self.state,
+                                                 self.opts):
+                continue
             if res.chains:
                 post_rescore_finish(res.chains, read_lens[i], self.state,
                                     self.opts)

@@ -458,6 +458,51 @@ def delete_small_score_rst(idx, chains, dirs, l_read, state, opts):
     post_rescore_finish(chains, l_read, state, opts)
 
 
+def post_finish_native(idx, chains, l_read, state, opts) -> bool:
+    """post_rescore_finish + detect_primary via csrc/rescorehot.c
+    mode 1 (the device engine's host finish: scores already computed on
+    device). False -> caller runs the python path."""
+    if not chains or not native.available():
+        return False
+    import numpy as np
+
+    from ...constants import (FILTER_MIN_SCORE_2G,
+                              FILTER_MIN_SCORE_SHORT_3G, FORWARD,
+                              MIN_SCORE_MEM, OVER_SEARCH_M2)
+    from .chain import Chain
+
+    nc = len(chains)
+    rows = np.zeros((nc, 14), np.int64)
+    for i, c in enumerate(chains):
+        rows[i] = (c.ref_id, c.sum_score, c.anchor_number, c.direction,
+                   int(c.with_top_anchor), c.t_st, c.t_ed, c.q_st,
+                   c.q_ed, c.indel, 0, 0, 0, 0)
+    eff = max(state.max_read_l, l_read)
+    anc3 = np.zeros((1, 3), np.int64)
+    params = np.array([
+        idx.ref_bin.ctypes.data, len(idx.ref_bin) * 4,
+        idx.ref_off.ctypes.data, idx.ref_len.ctypes.data,
+        0, 0, l_read, FORWARD, eff,
+        opts.filter_min_score_lv3, opts.filter_min_length,
+        opts.filter_min_score, K9, OVER_SEARCH_M2, MIN_SCORE_MEM,
+        FILTER_MIN_SCORE_2G, FILTER_MIN_SCORE_SHORT_3G,
+        1,  # mode: post_rescore_finish + detect_primary only
+    ], np.int64)
+    n = native.rescore_finish(params, rows, anc3)
+    if n < 0:
+        return False
+    state.max_read_l = eff
+    chains[:] = [Chain(
+        ref_id=int(r[0]), q_t_dis=0, sum_score=int(r[1]),
+        anchor_number=int(r[2]), direction=int(r[3]),
+        with_top_anchor=bool(r[4]), primary=int(r[12]),
+        pri_index=int(r[13]), t_st=int(r[5]), t_ed=int(r[6]),
+        q_st=int(r[7]), q_ed=int(r[8]), indel=int(r[9]),
+        chain_id=i, chain_anchor_cur=None)
+        for i, r in enumerate(rows[:n])]
+    return True
+
+
 def truncate_chains(chains):
     """Pre-rescore truncation (src/cly.c:2891-2897)."""
     if len(chains) > 200:

@@ -176,3 +176,50 @@ def test_map_seed_and_kmers_match_python(small_my_index):
     finally:
         ms.native, fs.native = real_ms, real_fs
     assert a == b
+
+
+def test_post_finish_native_matches_python(small_my_index):
+    """rescore_finish mode 1 (device-engine host finish) == python
+    post_rescore_finish + detect_primary on random chain sets."""
+    import copy
+
+    from desamba_tpu.engine.gold.chain import Chain
+    from desamba_tpu.engine.gold.classify import Options, StreamState
+    from desamba_tpu.engine.gold.rescore import (detect_primary,
+                                                 post_finish_native,
+                                                 post_rescore_finish)
+
+    idx = small_my_index
+    rng = np.random.default_rng(3)
+    opts = Options()
+    for it in range(500):
+        nc = int(rng.integers(1, 9))
+        l_read = int(rng.integers(100, 3000))
+        chains = []
+        for i in range(nc):
+            t_st = int(rng.integers(0, 20000))
+            span = int(rng.integers(0, 2000))
+            q_st = int(rng.integers(0, l_read))
+            qspan = int(rng.integers(0, l_read))
+            chains.append(Chain(
+                ref_id=int(rng.integers(0, 3)), q_t_dis=0,
+                sum_score=int(rng.integers(0, 400)),
+                anchor_number=int(rng.integers(1, 20)),
+                direction=int(rng.integers(0, 2)),
+                with_top_anchor=bool(rng.integers(0, 2)),
+                primary=0, pri_index=0, t_st=t_st, t_ed=t_st + span,
+                q_st=q_st, q_ed=min(l_read, q_st + qspan),
+                indel=int(rng.integers(0, 50)), chain_id=i,
+                chain_anchor_cur=None))
+        st1, st2 = StreamState(), StreamState()
+        st1.max_read_l = st2.max_read_l = int(rng.integers(0, 1200))
+        c1 = copy.deepcopy(chains)
+        post_rescore_finish(c1, l_read, st1, opts)
+        detect_primary(c1, l_read)
+        c2 = copy.deepcopy(chains)
+        assert post_finish_native(idx, c2, l_read, st2, opts)
+        key = lambda c: (c.ref_id, c.sum_score, c.direction, c.t_st,
+                         c.t_ed, c.q_st, c.q_ed, c.indel, c.primary,
+                         c.pri_index)
+        assert [key(c) for c in c1] == [key(c) for c in c2]
+        assert st1.max_read_l == st2.max_read_l
