@@ -301,6 +301,14 @@ void exist_hits(const uint8_t *bin_read, int64_t n_kmers, int64_t l_ek,
  * walk + local expansion) instead of the full mask. Emits
  * [offset, len, top] int32 rows; returns the count and writes the
  * direction total_score. */
+static inline uint64_t lz_kval(const uint8_t *br, int64_t i, int64_t l_ek) {
+    uint64_t kv = 0;
+    for (int64_t j = 0; j < l_ek; j++)
+        kv = (kv << 2) | br[i + j];
+    if (l_ek < 32) kv &= (1ull << (2 * l_ek)) - 1;
+    return kv;
+}
+
 static int lz_probe(const uint8_t *br, int64_t i, int64_t l_ek,
                     int64_t sbm, const uint8_t *ek0, const uint8_t *ek1,
                     uint64_t hmask) {
@@ -334,6 +342,14 @@ int64_t lazy_islands(const uint8_t *bin_read, int64_t n_kmers,
     if (forward) {
         int64_t i = step_ek - 1;
         while (i < n) {
+            /* hide the first table probe's DRAM latency: hash the next
+               stride position and prefetch its ek0 byte (hint only,
+               semantics unchanged) */
+            if (i + step_ek < n) {
+                uint64_t pk = wang1(lz_kval(bin_read, i + step_ek, l_ek))
+                              & hash_mask;
+                __builtin_prefetch(ek0 + (pk >> 3), 0, 1);
+            }
             if (PROBE(i)) {
                 int64_t offset = i, length = 1;
                 for (int64_t j = 1; j < step_ek; j++) {
@@ -364,6 +380,11 @@ int64_t lazy_islands(const uint8_t *bin_read, int64_t n_kmers,
     } else {
         int64_t i = n - step_ek;
         while (i >= 0) {
+            if (i - step_ek >= 0) {
+                uint64_t pk = wang1(lz_kval(bin_read, i - step_ek, l_ek))
+                              & hash_mask;
+                __builtin_prefetch(ek0 + (pk >> 3), 0, 1);
+            }
             if (PROBE(i)) {
                 int64_t offset = i, length = 1;
                 for (int64_t j = 1; j < step_ek; j++) {
