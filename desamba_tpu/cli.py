@@ -43,15 +43,10 @@ def cmd_classify(args):
     t1 = time.time()
     engine = args.engine
     if engine == "auto":
-        # device engine wins on an accelerator (233 vs 124 reads/s demo,
-        # BASELINE.md); on CPU backends the host engine is faster
-        try:
-            import jax
-
-            engine = "device" if jax.default_backend() not in (
-                "cpu",) else "gold"
-        except Exception:
-            engine = "gold"
+        # the native host engine currently leads on every backend
+        # (~5,000 vs 233 reads/s demo, BASELINE.md round-2 tables);
+        # flips to the device engine when it takes the lead
+        engine = "gold"
     if engine == "device":
         from .engine.device.classifier import DeviceClassifier
 
