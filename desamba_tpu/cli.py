@@ -57,27 +57,45 @@ def cmd_classify(args):
                 out.write(format_result(res, idx.ref_name, opts))
                 n += 1
     else:
+        import queue
+        import threading
+
         eng = ClassifyEngine(idx, opts)
         for path in args.reads:
             print(f"Processing file: [{path}].", file=sys.stderr)
-            # batch + parallel classify (kt_for analogue); batches bound
-            # memory like the reference's pipeline batches: <=5000 reads
-            # or 10 Mbp, whichever first (N_NEEDED / MAX_read_size,
+            # 3-stage kt_pipeline analogue (src/lib/kthread.c:157-197):
+            # a reader thread parses batch N+1 while batch N classifies;
+            # batches bound memory like the reference's: <=5000 reads or
+            # 10 Mbp, whichever first (N_NEEDED / MAX_read_size,
             # src/cly_mt.c:19-20)
-            batch: list = []
-            batch_bp = 0
-            for rec in read_fastx(path):
-                batch.append(rec)
-                batch_bp += len(rec.seq)
-                if len(batch) >= 5000 or batch_bp >= 10_000_000:
-                    for res in eng.classify_records(batch, threads=args.t):
-                        out.write(format_result(res, idx.ref_name, opts))
-                        n += 1
-                    batch = []
-                    batch_bp = 0
-            for res in eng.classify_records(batch, threads=args.t):
-                out.write(format_result(res, idx.ref_name, opts))
-                n += 1
+            q: "queue.Queue" = queue.Queue(maxsize=2)
+
+            def reader(p=path):
+                batch: list = []
+                batch_bp = 0
+                try:
+                    for rec in read_fastx(p):
+                        batch.append(rec)
+                        batch_bp += len(rec.seq)
+                        if len(batch) >= 5000 or batch_bp >= 10_000_000:
+                            q.put(batch)
+                            batch = []
+                            batch_bp = 0
+                    q.put(batch)
+                    q.put(None)
+                except BaseException as e:
+                    q.put(e)
+
+            threading.Thread(target=reader, daemon=True).start()
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                for res in eng.classify_records(item, threads=args.t):
+                    out.write(format_result(res, idx.ref_name, opts))
+                    n += 1
     dt = time.time() - t1
     print(f"{n} sequences processed in {dt:.3f}s "
           f"({n / 1e3 / (dt / 60):.1f} Kseq/m).", file=sys.stderr)
