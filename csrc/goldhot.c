@@ -295,6 +295,129 @@ void exist_hits(const uint8_t *bin_read, int64_t n_kmers, int64_t l_ek,
     }
 }
 
+/* resolve_tree, M2 path (gold chain.py chain_insert_m2/_insert_meta/
+ * resolve_tree; src/cly.c:72-235,326-349). Anchor rows are the
+ * classify_dir 13 cols + direction (col 13). Emits chain rows in the
+ * rescore_finish layout + anchor (mtch, refoff, idx) triples in
+ * cur->pre order. Returns the chain count, or -1 when the caller must
+ * fall back (>= m3_threshold anchors, or caps). */
+typedef struct {
+    int64_t ref_id, q_t_dis, sum_score, anchor_number, direction;
+    int64_t with_top, t_st, t_ed, q_st, q_ed, indel;
+    int64_t cur;                 /* head anchor index, -1 none */
+} CChain;
+
+int64_t resolve_tree_m2(const int64_t *arows, int64_t n,
+                        int64_t m3_threshold, int64_t max_dis_minus,
+                        int64_t max_waiting_len,
+                        int64_t *chains_out, int64_t cmax,
+                        int64_t *anc3_out, int64_t amax) {
+    if (n >= m3_threshold) return -1;
+    CChain ch[64];
+    int64_t pre_idx[64];         /* per-anchor chain_anchor_pre index */
+    int64_t nc = 0;
+    for (int64_t a = 0; a < n; a++) {
+        const int64_t *r = arows + 14 * a;
+        int64_t mtch = r[0], score = r[1], goff_unused = r[6];
+        (void)goff_unused;
+        int64_t ref_id = r[7], refoff = r[8], idx_in_read = r[9];
+        int64_t dup = r[10], useless = r[12], dir = r[13];
+        int64_t dis = refoff - idx_in_read;
+        int64_t ref_l = refoff, ref_r = refoff + mtch;
+        int64_t read_l = idx_in_read, read_r = idx_in_read + mtch;
+        int64_t eff_score = dup ? 1 : score;
+        CChain *hit = 0;
+        int64_t dis_minus = 0;
+        for (int64_t ci = 0; ci < nc; ci++) {
+            CChain *c = &ch[ci];
+            if (c->direction == dir && c->ref_id == ref_id) {
+                int64_t dm = dis - c->q_t_dis;
+                if (dm < 0) dm = -dm;
+                int64_t dt = c->t_ed - refoff;
+                if (dt < 0) dt = -dt;
+                if (dm < max_dis_minus && dt < max_waiting_len) {
+                    hit = c;
+                    dis_minus = dm;
+                    break;
+                }
+            }
+        }
+        if (!hit) {
+            if (nc >= 64 || nc >= cmax) return -1;
+            CChain *c = &ch[nc++];
+            pre_idx[a] = -1;
+            c->ref_id = ref_id;
+            c->direction = dir;
+            c->q_t_dis = dis;
+            c->t_st = ref_l; c->t_ed = ref_r;
+            c->q_st = read_l; c->q_ed = read_r;
+            c->with_top = !useless;
+            c->anchor_number = 1;
+            c->sum_score = eff_score;
+            c->indel = 0;
+            c->cur = a;
+        } else {
+            CChain *c = hit;
+            c->with_top = c->with_top || !useless;
+            if (c->q_ed >= read_r) { pre_idx[a] = -1; continue; }
+            if (ref_r > c->t_ed) c->t_ed = ref_r;
+            c->q_ed = read_r;
+            pre_idx[a] = c->cur;
+            c->cur = a;
+            c->q_t_dis = dis;
+            c->indel += dis_minus;
+            c->anchor_number += 1;
+            c->sum_score += eff_score;
+        }
+    }
+    /* sort: with_top first, then score + 2*span - 4*indel desc; stable */
+    int64_t ord[64];
+    for (int64_t i = 0; i < nc; i++) ord[i] = i;
+    for (int64_t i = 1; i < nc; i++) {
+        int64_t key = ord[i];
+        int64_t kt = ch[key].with_top ? 0 : 1;
+        int64_t ks = ch[key].sum_score
+                     + ((ch[key].q_ed - ch[key].q_st) << 1)
+                     - (ch[key].indel << 2);
+        int64_t p = i - 1;
+        while (p >= 0) {
+            int64_t pt = ch[ord[p]].with_top ? 0 : 1;
+            int64_t ps = ch[ord[p]].sum_score
+                         + ((ch[ord[p]].q_ed - ch[ord[p]].q_st) << 1)
+                         - (ch[ord[p]].indel << 2);
+            if (pt > kt || (pt == kt && ps < ks)) {
+                ord[p + 1] = ord[p];
+                p--;
+            } else {
+                break;
+            }
+        }
+        ord[p + 1] = key;
+    }
+    int64_t rst = nc < 5 ? nc : 5;
+    while (rst < nc && ch[ord[rst]].with_top) rst++;
+    /* emit */
+    int64_t aw = 0;
+    for (int64_t i = 0; i < rst; i++) {
+        const CChain *c = &ch[ord[i]];
+        int64_t *o = chains_out + 14 * i;
+        int64_t off = aw;
+        for (int64_t a = c->cur; a >= 0; a = pre_idx[a]) {
+            if (aw >= amax) return -1;
+            const int64_t *r = arows + 14 * a;
+            anc3_out[3 * aw] = r[0];
+            anc3_out[3 * aw + 1] = r[8];
+            anc3_out[3 * aw + 2] = r[9];
+            aw++;
+        }
+        o[0] = c->ref_id; o[1] = c->sum_score; o[2] = c->anchor_number;
+        o[3] = c->direction; o[4] = c->with_top; o[5] = c->t_st;
+        o[6] = c->t_ed; o[7] = c->q_st; o[8] = c->q_ed; o[9] = c->indel;
+        o[10] = off; o[11] = aw - off; o[12] = 0; o[13] = 0;
+    }
+    return rst;
+}
+
 /* lazy_islands: the reference's island walk with on-demand probes
  * (gold islands.search_islands + mark_top over exist_hits;
  * src/cly.c:1071-1234). Only ~1/3 of positions get hashed (stride-3

@@ -116,6 +116,144 @@ class ClassifyEngine:
         return out
 
     def classify_read(self, name: str, seq: str, qual: str | None = None) -> ReadResult:
+        from ...io import native
+
+        if native.available():
+            res = self._classify_read_rows(name, seq, qual)
+            if res is not None:
+                return res
+        return self._classify_read_obj(name, seq, qual)
+
+    def _classify_read_rows(self, name, seq, qual):
+        """Row-level fast path: anchors and chains stay as int64 rows
+        through the native kernels (lazy_islands -> classify_dir ->
+        resolve_tree_m2 -> rescore_finish); python only makes the
+        run_slow decisions and builds the final Chain objects. Returns
+        None to fall back to the object path (M3 chaining, caps)."""
+        import numpy as np
+
+        from ...constants import (M3_ANCHOR_THRESHOLD, MAX_DIS_MINUS,
+                                  MAX_WAITING_LEN)
+        from ...io import native
+        from .chain import Chain
+        from .mapseed import _ms_ctx
+
+        res = ReadResult(name, seq, qual, len(seq))
+        if len(seq) < MIN_READ_LEN:
+            return res
+        idx = self.idx
+        read_len = res.read_len
+        dirs, both = get_islands(seq, idx)
+        ctx = _ms_ctx(idx, self.fm, self.loc, self.q_mem, self.q_lv)
+
+        def ladder(sd, mode):
+            if len(sd.seeds) == 0:
+                return np.zeros((0, 14), np.int64)
+            seeds = np.ascontiguousarray(np.asarray(sd.seeds, np.int32))
+            rows = native.classify_dir(ctx, sd.buf, sd.base, read_len,
+                                       seeds, mode)
+            if rows is None:
+                return None
+            out = np.empty((len(rows), 14), np.int64)
+            out[:, :13] = rows
+            out[:, 13] = sd.direction
+            return out
+
+        def resolve(segs):
+            cat = segs[0] if len(segs) == 1 else np.concatenate(segs)
+            rt = native.resolve_tree_m2(cat, M3_ANCHOR_THRESHOLD,
+                                        MAX_DIS_MINUS, MAX_WAITING_LEN)
+            if rt is None:
+                return None, len(cat)
+            return rt, len(cat)
+
+        segs = []
+        r0 = ladder(dirs[0], 0)
+        if r0 is None:
+            return None
+        segs.append(r0)
+        if both:
+            r1 = ladder(dirs[1], 0)
+            if r1 is None:
+                return None
+            segs.append(r1)
+        rt, n_anc = resolve(segs)
+        if rt is None:
+            return None
+        chain_rows, anc3 = rt
+        run_slow = False
+        if len(chain_rows) == 0:
+            run_slow = True
+        elif int(chain_rows[0, 2]) < 5:  # anchor_number; super_repeat==0
+            run_slow = True
+            if read_len <= 300 and int(chain_rows[0, 1]) > 200:
+                run_slow = False
+        if run_slow:
+            res.fast = False
+            segs = []
+            s0 = ladder(dirs[0], 1)
+            if s0 is None:
+                return None
+            segs.append(s0)
+            rt, n_anc = resolve(segs)
+            if rt is None:
+                return None
+            chain_rows, anc3 = rt
+            if both or len(chain_rows) == 0 or int(chain_rows[0, 2]) < 5:
+                s1 = ladder(dirs[1], 1)
+                if s1 is None:
+                    return None
+                segs.append(s1)
+                rt, n_anc = resolve(segs)
+                if rt is None:
+                    return None
+                chain_rows, anc3 = rt
+        res.anchors = [None] * n_anc
+        if len(chain_rows) == 0:
+            return res
+        final = self._finish_rows(chain_rows, anc3, dirs[0].buf, read_len)
+        if final is None:
+            return None
+        res.chains = [Chain(
+            ref_id=int(r[0]), q_t_dis=0, sum_score=int(r[1]),
+            anchor_number=int(r[2]), direction=int(r[3]),
+            with_top_anchor=bool(r[4]), primary=int(r[12]),
+            pri_index=int(r[13]), t_st=int(r[5]), t_ed=int(r[6]),
+            q_st=int(r[7]), q_ed=int(r[8]), indel=int(r[9]),
+            chain_id=i, chain_anchor_cur=None)
+            for i, r in enumerate(final)]
+        return res
+
+    def _finish_rows(self, chain_rows, anc3, buf, read_len):
+        """rescore_finish over row inputs; returns final rows or None."""
+        import numpy as np
+
+        from ...constants import (FORWARD, S_A_KMER_L, MIN_SCORE_MEM,
+                                  OVER_SEARCH_M2, FILTER_MIN_SCORE_2G,
+                                  FILTER_MIN_SCORE_SHORT_3G)
+        from ...io import native
+
+        idx = self.idx
+        rows = np.ascontiguousarray(chain_rows)
+        anc = (np.ascontiguousarray(anc3) if len(anc3)
+               else np.zeros((1, 3), np.int64))
+        eff = max(self.state.max_read_l, read_len)
+        params = np.array([
+            idx.ref_bin.ctypes.data, len(idx.ref_bin) * 4,
+            idx.ref_off.ctypes.data, idx.ref_len.ctypes.data,
+            buf.ctypes.data, len(buf), read_len, FORWARD, eff,
+            self.opts.filter_min_score_lv3, self.opts.filter_min_length,
+            self.opts.filter_min_score, S_A_KMER_L, OVER_SEARCH_M2,
+            MIN_SCORE_MEM, FILTER_MIN_SCORE_2G, FILTER_MIN_SCORE_SHORT_3G,
+            0,
+        ], np.int64)
+        n = native.rescore_finish(params, rows, anc)
+        if n < 0:
+            return None
+        self.state.max_read_l = eff
+        return rows[:n]
+
+    def _classify_read_obj(self, name: str, seq: str, qual: str | None = None) -> ReadResult:
         res = ReadResult(name, seq, qual, len(seq))
         if len(seq) < MIN_READ_LEN:
             return res

@@ -64,6 +64,11 @@ def _build():
     lib.mem_run.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64]
+    lib.resolve_tree_m2.restype = ctypes.c_int64
+    lib.resolve_tree_m2.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64]
     lib.rescore_finish.restype = ctypes.c_int64
     lib.rescore_finish.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
@@ -202,6 +207,24 @@ def mem_run(qbuf: np.ndarray, qi: int, t: np.ndarray, ti: int,
     """Native exact-match run (csrc/goldhot.c); == gold _mem_q."""
     return _LIB.mem_run(qbuf.ctypes.data, len(qbuf), qi, t.ctypes.data,
                         len(t), ti, 1 if forward else 0, maxlen)
+
+
+def resolve_tree_m2(arows: np.ndarray, m3_threshold: int,
+                    max_dis_minus: int, max_waiting_len: int):
+    """Native M2 chaining (csrc/goldhot.c); == gold resolve_tree for
+    < m3_threshold anchors. arows: (n, 14) int64 anchor rows
+    (classify_dir cols + direction). Returns (chain_rows (nc, 14),
+    anc3 (m, 3)) views into per-thread scratch, or None (M3 / caps —
+    caller falls back)."""
+    chains = _scratch("rt_chains", (64, 14))
+    anc3 = _scratch("rt_anc3", (64, 3))
+    nc = _LIB.resolve_tree_m2(arows.ctypes.data, len(arows), m3_threshold,
+                              max_dis_minus, max_waiting_len,
+                              chains.ctypes.data, 64, anc3.ctypes.data, 64)
+    if nc < 0:
+        return None
+    ncnt = int(chains[:nc, 10:12].sum(axis=0)[1]) if nc else 0
+    return chains[:nc], anc3[:ncnt]
 
 
 def rescore_finish(params: np.ndarray, chains: np.ndarray,

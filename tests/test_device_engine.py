@@ -142,12 +142,11 @@ def test_map_seed_lanes_parity(device_setup):
 
     MS.map_seed = wrap
     FS.map_seed = wrap
-    # force the instrumentable python ladder (the native classify_dir
-    # bypasses fastslow.map_seed entirely)
-    import types as _types
-    _stub = _types.SimpleNamespace(available=lambda: False)
-    _real_fs_native = FS.native
-    FS.native = _stub
+    # force the instrumentable python oracle end to end (the native
+    # row path bypasses fastslow.map_seed entirely)
+    import desamba_tpu.io.native as _nv
+    _real_avail = _nv.available
+    _nv.available = lambda: False
     try:
         for r in reads:
             seq = "".join("ACGT"[c] for c in r)
@@ -158,7 +157,7 @@ def test_map_seed_lanes_parity(device_setup):
     finally:
         MS.map_seed = orig
         FS.map_seed = orig
-        FS.native = _real_fs_native
+        _nv.available = _real_avail
     assert calls, "no map_seed calls recorded"
 
     N = len(calls)

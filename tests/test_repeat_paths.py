@@ -133,10 +133,9 @@ def test_m3_and_super_repeat_paths_taken(repeat_my_index, repeat_reads):
 
     chain_mod.chain_insert_m3 = count_m3
     fastslow.map_seed = count_ms
-    import types as _types
-    _stub = _types.SimpleNamespace(available=lambda: False)
-    _real_fs_native = fastslow.native
-    fastslow.native = _stub  # count_ms needs the python ladder
+    import desamba_tpu.io.native as _nv
+    _real_avail = _nv.available
+    _nv.available = lambda: False  # count_ms needs the python oracle
     try:
         eng = ClassifyEngine(repeat_my_index, Options())
         from desamba_tpu.io.fastx import read_fastx
@@ -146,7 +145,7 @@ def test_m3_and_super_repeat_paths_taken(repeat_my_index, repeat_reads):
     finally:
         chain_mod.chain_insert_m3 = orig_m3
         fastslow.map_seed = orig_ms
-        fastslow.native = _real_fs_native
+        _nv.available = _real_avail
     assert m3_calls[0] >= 1, "M3 chain path not exercised"
     assert huge_hits[0] >= 1, ">=1000-occurrence guard not exercised"
 
