@@ -73,9 +73,13 @@ def reads(idxdir: str, n: int, out: str):
     print(f"reads: {n} in {time.time() - t0:.1f}s -> {out}")
 
 
-def classify(idxdir: str, fq: str, gold_sample: int = 0):
+def classify(idxdir: str, fq: str, gold_sample: int = 0,
+             engine: str = "device"):
     import jax
 
+    if engine == "host":
+        # keep jax off the (possibly unreachable) accelerator backend
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/desamba_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from desamba_tpu.engine.device.classifier import DeviceClassifier
@@ -86,6 +90,20 @@ def classify(idxdir: str, fq: str, gold_sample: int = 0):
 
     idx = load_index(idxdir)
     recs = list(read_fastx_fast(fq))
+    if engine == "host":
+        heng = ClassifyEngine(idx, Options())
+        heng.classify_records(recs[:256], threads=8)  # warm pool
+        heng.state.max_read_l = 0
+        t0 = time.time()
+        out = [format_result(r, idx.ref_name, heng.opts)
+               for r in heng.classify_records(recs, threads=8)]
+        wall = time.time() - t0
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        cls = sum(1 for s in out if "\t4\t" not in s.split("\n")[0])
+        print(f"classify[host]: {len(recs)} reads in {wall:.1f}s = "
+              f"{len(recs) / wall:.1f} reads/s, {cls} classified, "
+              f"peak_rss={rss:.2f}GB")
+        return
     eng = DeviceClassifier(idx, Options())
     warm = list(eng.classify_reads(recs[:2048]))   # compile pass
     del warm
