@@ -596,14 +596,36 @@ int64_t sdp_match(uint64_t q_bg, uint64_t q_ed,
     int64_t n_out = 0, need = 0;
     if (t_kmer_num <= 4) return 0;
     const uint64_t kmask = (1ull << (2 * k9)) - 1;
+    /* rolling probe k-mer: advance by 4 chars per stride instead of
+       re-reading all k9 (forward walks ascending, backward descending
+       t positions — both are strided by 4 in their own direction) */
+    uint64_t tv = 0;
+    {
+        int64_t p0 = forward ? 4 : t_kmer_num - 5;
+        for (int64_t j = 0; j < k9; j++)
+            tv = (tv << 2) | t_arr[t0 + p0 + j];
+        tv &= kmask;
+    }
     for (int64_t i = 4; i < t_kmer_num; i += 4) {
         int64_t tpos = forward ? i : t_kmer_num - 1 - i;
-        uint64_t tv = 0;
-        for (int64_t j = 0; j < k9; j++)
-            tv = (tv << 2) | t_arr[t0 + tpos + j];
-        tv &= kmask;
+        if (i > 4) {
+            if (forward) {
+                tv = ((tv << 8)
+                      | ((uint64_t)t_arr[t0 + tpos + k9 - 4] << 6)
+                      | ((uint64_t)t_arr[t0 + tpos + k9 - 3] << 4)
+                      | ((uint64_t)t_arr[t0 + tpos + k9 - 2] << 2)
+                      | (uint64_t)t_arr[t0 + tpos + k9 - 1]) & kmask;
+            } else {
+                tv = (tv >> 8)
+                     | ((uint64_t)t_arr[t0 + tpos] << (2 * k9 - 2))
+                     | ((uint64_t)t_arr[t0 + tpos + 1] << (2 * k9 - 4))
+                     | ((uint64_t)t_arr[t0 + tpos + 2] << (2 * k9 - 6))
+                     | ((uint64_t)t_arr[t0 + tpos + 3] << (2 * k9 - 8));
+            }
+        }
         int64_t lo = lower_b(rkvals, nrk, tv);
-        int64_t hi = upper_b(rkvals, nrk, tv);
+        int64_t hi = lo;
+        while (hi < nrk && rkvals[hi] == tv) hi++;  /* runs are short */
         for (int64_t r = lo; r < hi; r++) {
             int64_t q_pos = rkpos[r];
             if ((uint64_t)q_pos < q_bg || (uint64_t)q_pos > q_ed) continue;
