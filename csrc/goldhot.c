@@ -432,22 +432,68 @@ static inline uint64_t lz_kval(const uint8_t *br, int64_t i, int64_t l_ek) {
     return kv;
 }
 
-static int lz_probe(const uint8_t *br, int64_t i, int64_t l_ek,
-                    int64_t sbm, const uint8_t *ek0, const uint8_t *ek1,
-                    uint64_t hmask) {
-    uint64_t kv = 0;
-    int64_t cnt[4] = {0, 0, 0, 0};
+/* Rolling window state for the walk's probes: every move in the island
+ * walk is small (stride +3, expansions +-1/2), so the k-mer value and
+ * the 4 base counts update incrementally instead of re-reading l_ek
+ * chars per probe. */
+typedef struct {
+    int64_t pos;
+    uint64_t kv;
+    int64_t cnt[4];
+} LzWin;
+
+static void lz_init(LzWin *w, const uint8_t *br, int64_t i, int64_t l_ek) {
+    w->pos = i;
+    w->kv = 0;
+    w->cnt[0] = w->cnt[1] = w->cnt[2] = w->cnt[3] = 0;
     for (int64_t j = 0; j < l_ek; j++) {
-        kv = (kv << 2) | br[i + j];
-        cnt[br[i + j]]++;
+        w->kv = (w->kv << 2) | br[i + j];
+        w->cnt[br[i + j]]++;
     }
-    if (l_ek < 32) kv &= (1ull << (2 * l_ek)) - 1;
-    if (kv == 0) return 0;
-    if (cnt[0] >= sbm || cnt[1] >= sbm || cnt[2] >= sbm || cnt[3] >= sbm)
+    if (l_ek < 32) w->kv &= (1ull << (2 * l_ek)) - 1;
+}
+
+static void lz_seek(LzWin *w, const uint8_t *br, int64_t target,
+                    int64_t l_ek) {
+    int64_t d = target - w->pos;
+    const uint64_t mask =
+        l_ek >= 32 ? ~0ull : ((1ull << (2 * l_ek)) - 1);
+    if (d == 0) return;
+    if (d < 0 ? -d >= l_ek : d >= l_ek) {
+        lz_init(w, br, target, l_ek);
+        return;
+    }
+    while (d > 0) {
+        uint8_t out = br[w->pos];
+        uint8_t in = br[w->pos + l_ek];
+        w->cnt[out]--;
+        w->cnt[in]++;
+        w->kv = ((w->kv << 2) | in) & mask;
+        w->pos++;
+        d--;
+    }
+    while (d < 0) {
+        uint8_t out = br[w->pos + l_ek - 1];
+        uint8_t in = br[w->pos - 1];
+        w->cnt[out]--;
+        w->cnt[in]++;
+        w->kv = (w->kv >> 2) | ((uint64_t)in << (2 * l_ek - 2));
+        w->pos--;
+        d++;
+    }
+}
+
+static int lz_probe_at(LzWin *w, const uint8_t *br, int64_t i,
+                       int64_t l_ek, int64_t sbm, const uint8_t *ek0,
+                       const uint8_t *ek1, uint64_t hmask) {
+    lz_seek(w, br, i, l_ek);
+    if (w->kv == 0) return 0;
+    if (w->cnt[0] >= sbm || w->cnt[1] >= sbm || w->cnt[2] >= sbm
+            || w->cnt[3] >= sbm)
         return 0;
-    uint64_t h1 = wang1(kv) & hmask;
+    uint64_t h1 = wang1(w->kv) & hmask;
     if (!((ek0[h1 >> 3] >> (7 - (h1 & 7))) & 1)) return 0;
-    uint64_t h2 = wang2(kv) & hmask;
+    uint64_t h2 = wang2(w->kv) & hmask;
     return (ek1[h2 >> 3] >> (7 - (h2 & 7))) & 1;
 }
 
@@ -460,8 +506,11 @@ int64_t lazy_islands(const uint8_t *bin_read, int64_t n_kmers,
                      int64_t *total_out) {
     int64_t ns = 0;
     const int64_t n = n_kmers;
-#define PROBE(ix) lz_probe(bin_read, (ix), l_ek, single_base_max, ek0, \
-                           ek1, hash_mask)
+    if (n <= 0) { *total_out = 0; return 0; }
+    LzWin w;
+    lz_init(&w, bin_read, 0, l_ek);
+#define PROBE(ix) lz_probe_at(&w, bin_read, (ix), l_ek, single_base_max, \
+                              ek0, ek1, hash_mask)
     if (forward) {
         int64_t i = step_ek - 1;
         while (i < n) {
