@@ -100,6 +100,36 @@ static inline int64_t blk_occ(const uint8_t *blk, int64_t r, int c) {
     return base + cnt;
 }
 
+/* paired rank: sp/ep usually land in the same 256-row block during the
+ * narrow-interval phase; count both in one nibble pass */
+static inline void blk_occ2(const uint8_t *blk, int64_t sp, int64_t ep,
+                            int c, int64_t *osp, int64_t *oep) {
+    if ((sp >> 8) != (ep >> 8)) {
+        *osp = blk_occ(blk, sp, c);
+        *oep = blk_occ(blk, ep, c);
+        return;
+    }
+    const uint8_t *b = blk + (sp >> 8) * 168;
+    int64_t base = ((const int64_t *)b)[c];
+    const uint8_t *nib = b + 40;
+    int64_t off1 = sp & 255, off2 = ep & 255;   /* off1 <= off2 */
+    int64_t cnt = 0;
+    const uint64_t dupc = 0x1111111111111111ull * (uint64_t)c;
+    const uint64_t *w = (const uint64_t *)nib;
+    int64_t full1 = off1 >> 4;
+    for (int64_t k = 0; k < full1; k++) {
+        uint64_t t = w[k] ^ dupc;
+        t = (t | (t >> 1) | (t >> 2) | (t >> 3)) & 0x1111111111111111ull;
+        cnt += 16 - __builtin_popcountll(t);
+    }
+    for (int64_t i = full1 << 4; i < off1; i++)
+        cnt += (((nib[i >> 1] >> ((i & 1) * 4)) & 0xF) == c);
+    *osp = base + cnt;
+    for (int64_t i = off1; i < off2; i++)
+        cnt += (((nib[i >> 1] >> ((i & 1) * 4)) & 0xF) == c);
+    *oep = base + cnt;
+}
+
 static inline int blk_char(const uint8_t *blk, int64_t r) {
     const uint8_t *nib = blk + (r >> 8) * 168 + 40;
     int64_t off = r & 255;
@@ -167,8 +197,9 @@ int64_t fm_mem_search(const uint8_t *blocks, const int64_t *rank6,
         str_i -= 1;
         if (c < 0) { new_sp = new_ep = 0; }
         else {
-            new_sp = rank6[c] + blk_occ(blocks, sp, (int)c);
-            new_ep = rank6[c] + blk_occ(blocks, ep, (int)c);
+            blk_occ2(blocks, sp, ep, (int)c, &new_sp, &new_ep);
+            new_sp += rank6[c];
+            new_ep += rank6[c];
         }
         if (match_len >= l_min_mth - 1) {
             if (new_sp + max_rst >= new_ep) break;
