@@ -94,8 +94,7 @@ def _run_gold(idx, reads, opts):
     for _ in range(3):
         eng.state.max_read_l = 0
         t0 = time.time()
-        out_lines = [format_result(r, idx.ref_name, opts)
-                     for r in eng.classify_records(reads, threads=threads)]
+        out_lines = eng.classify_records_formatted(reads, threads=threads)
         dt = min(dt, time.time() - t0)
     return _emit("gold", len(reads), dt, _check_parity(out_lines))
 

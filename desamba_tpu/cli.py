@@ -93,8 +93,9 @@ def cmd_classify(args):
                     break
                 if isinstance(item, BaseException):
                     raise item
-                for res in eng.classify_records(item, threads=args.t):
-                    out.write(format_result(res, idx.ref_name, opts))
+                for line in eng.classify_records_formatted(
+                        item, threads=args.t):
+                    out.write(line)
                     n += 1
     dt = time.time() - t1
     print(f"{n} sequences processed in {dt:.3f}s "

@@ -89,6 +89,33 @@ class ClassifyEngine:
         except Exception:
             pass
 
+    def classify_records_formatted(self, recs, threads: int = 1):
+        """classify_records + io.sam.format_result, with the formatting
+        done inside the worker processes (strings pickle far lighter
+        than ReadResult graphs and the formatting parallelizes).
+        Returns the list of formatted output strings in input order."""
+        from ...io.sam import format_result
+
+        premax = []
+        running = self.state.max_read_l
+        for r in recs:
+            premax.append(running)
+            if len(r.seq) >= MIN_READ_LEN:
+                running = max(running, len(r.seq))
+        if threads <= 1 or len(recs) < 32:
+            out = []
+            for i, r in enumerate(recs):
+                self.state.max_read_l = premax[i]
+                out.append(format_result(
+                    self.classify_read(r.name, r.seq, r.qual),
+                    self.idx.ref_name, self.opts))
+            self.state.max_read_l = running
+            return out
+        out = _classify_parallel(self, recs, premax, threads,
+                                 formatted=True)
+        self.state.max_read_l = running
+        return out
+
     def classify_records(self, recs, threads: int = 1):
         """Classify a list of records, optionally in parallel — the kt_for
         analogue (src/lib/kthread.c:32-57), with one twist that makes every
@@ -348,9 +375,17 @@ _G_ENGINE: ClassifyEngine | None = None
 
 
 def _classify_chunk(args):
-    lo, chunk = args
+    lo, chunk, formatted = args
     eng = _G_ENGINE
     res = []
+    if formatted:
+        from ...io.sam import format_result
+
+        for premax, name, seq, qual in chunk:
+            eng.state.max_read_l = premax
+            res.append(format_result(eng.classify_read(name, seq, qual),
+                                     eng.idx.ref_name, eng.opts))
+        return lo, res
     for premax, name, seq, qual in chunk:
         eng.state.max_read_l = premax
         r = eng.classify_read(name, seq, qual)
@@ -365,7 +400,7 @@ def _classify_chunk(args):
     return lo, res
 
 
-def _classify_parallel(eng, recs, premax, threads):
+def _classify_parallel(eng, recs, premax, threads, formatted=False):
     """Parallel map over reads — the kt_for analogue.
 
     With the native kernels built, ~90%+ of per-read time is inside
@@ -388,7 +423,7 @@ def _classify_parallel(eng, recs, premax, threads):
     for j in range(n_chunks):
         lo, hi = bounds[j], bounds[j + 1]
         jobs.append((lo, [(premax[i], recs[i].name, recs[i].seq, recs[i].qual)
-                          for i in range(lo, hi)]))
+                          for i in range(lo, hi)], formatted))
     _G_ENGINE = eng
     # measured: fork beats threads even with GIL-releasing kernels (the
     # remaining per-read glue serializes threads at ~1.9k reads/s vs
