@@ -80,11 +80,12 @@ def _run_gold(idx, reads, opts):
     from desamba_tpu.io.sam import format_result
 
     eng = ClassifyEngine(idx, opts)
-    # 2x oversubscription beats n_cores on this 4-core host (383 vs 282
-    # reads/s): numpy segments release the GIL and interleave with the
-    # pure-python stretches
+    # 1.5x oversubscription is the measured optimum on this 4-core host
+    # (t6 8895 vs t8 8701 vs t16 7130 reads/s): enough overlap to hide
+    # the per-chunk pickle stalls without thrashing
+    cores = os.cpu_count() or 4
     threads = int(os.environ.get("DESAMBA_BENCH_THREADS",
-                                 str(2 * (os.cpu_count() or 4))))
+                                 str(cores + cores // 2)))
     # warm-up spins the persistent worker pool + native tables outside
     # the timed region (mirrors the device path's warm-up pass)
     eng.classify_records(reads[:64], threads=threads)
