@@ -130,6 +130,30 @@ static inline void blk_occ2(const uint8_t *blk, int64_t sp, int64_t ep,
     *oep = base + cnt;
 }
 
+/* fused LF: read the row's char and count its occurrences before r in
+ * one pass over the same (cached) block */
+static inline int64_t blk_lf_occ(const uint8_t *blk, int64_t r, int *c_out) {
+    const uint8_t *b = blk + (r >> 8) * 168;
+    const uint8_t *nib = b + 40;
+    int64_t off = r & 255;
+    int c = (nib[off >> 1] >> ((off & 1) * 4)) & 0xF;
+    *c_out = c;
+    if (c == 5) return 0;  /* '$': caller uses dollar_pos */
+    int64_t base = ((const int64_t *)b)[c];
+    int64_t cnt = 0;
+    const uint64_t dupc = 0x1111111111111111ull * (uint64_t)c;
+    const uint64_t *w = (const uint64_t *)nib;
+    int64_t full = off >> 4;
+    for (int64_t k = 0; k < full; k++) {
+        uint64_t t = w[k] ^ dupc;
+        t = (t | (t >> 1) | (t >> 2) | (t >> 3)) & 0x1111111111111111ull;
+        cnt += 16 - __builtin_popcountll(t);
+    }
+    for (int64_t i = full << 4; i < off; i++)
+        cnt += (((nib[i >> 1] >> ((i & 1) * 4)) & 0xF) == c);
+    return base + cnt;
+}
+
 static inline int blk_char(const uint8_t *blk, int64_t r) {
     const uint8_t *nib = blk + (r >> 8) * 168 + 40;
     int64_t off = r & 255;
@@ -144,11 +168,11 @@ typedef struct {
 } FmTab;
 
 static int64_t fm_lf(const FmTab *fm, int64_t r, int *c_out) {
-    int c = blk_char(fm->blocks, r);
-    *c_out = c;
+    int64_t occ = blk_lf_occ(fm->blocks, r, c_out);
+    int c = *c_out;
     if (c == 5)  /* '$' */
         return fm->dollar_pos + fm->rank6[5];
-    return blk_occ(fm->blocks, r, c) + fm->rank6[c];
+    return occ + fm->rank6[c];
 }
 
 static void fm_single(const FmTab *fm, int64_t sp, const uint8_t *string,
@@ -834,11 +858,11 @@ static void ms_load(MsCtx *c, const int64_t *x) {
 }
 
 static int64_t ms_lf(const MsCtx *c, int64_t r, int *ch) {
-    int cc = blk_char(c->fm_blocks, r);
-    *ch = cc;
+    int64_t occ = blk_lf_occ(c->fm_blocks, r, ch);
+    int cc = *ch;
     if (cc == 5)
         return c->dollar_pos + c->rank6[5];
-    return blk_occ(c->fm_blocks, r, cc) + c->rank6[cc];
+    return occ + c->rank6[cc];
 }
 
 /* Locator.get_uni: SA sample -> (unitig, uni_offset, global ref pos) */
