@@ -223,3 +223,57 @@ def test_post_finish_native_matches_python(small_my_index):
                          c.pri_index)
         assert [key(c) for c in c1] == [key(c) for c in c2]
         assert st1.max_read_l == st2.max_read_l
+
+
+def test_resolve_tree_m2_matches_python(small_my_index):
+    """Native M2 chaining rows == python resolve_tree over random
+    anchor sets (< M3 threshold)."""
+    from desamba_tpu.constants import (M3_ANCHOR_THRESHOLD, MAX_DIS_MINUS,
+                                       MAX_WAITING_LEN)
+    from desamba_tpu.engine.gold.chain import resolve_tree
+    from desamba_tpu.engine.gold.mapseed import Anchor
+
+    rng = np.random.default_rng(17)
+    for it in range(800):
+        n = int(rng.integers(1, 49))
+        rows = np.zeros((n, 14), np.int64)
+        anchors = []
+        for a in range(n):
+            mtch = int(rng.integers(9, 60))
+            score = int(rng.integers(-10, 300))
+            ref_id = int(rng.integers(0, 3))
+            refoff = int(rng.integers(0, 3000))
+            idxr = int(rng.integers(0, 1500))
+            dup = int(rng.integers(0, 2))
+            useless = int(rng.integers(0, 2))
+            dirn = int(rng.integers(0, 2))
+            sid = int(rng.integers(0, 5))
+            rows[a] = (mtch, score, 0, 0, 0, 0, 0, ref_id, refoff, idxr,
+                       dup, sid, useless, dirn)
+            anchors.append(Anchor(
+                mtch_len=mtch, score=score, left_len=0, left_ed=0,
+                rigt_len=0, rigt_ed=0, direction=dirn, global_offset=0,
+                ref_id=ref_id, ref_offset=refoff, index_in_read=idxr,
+                chain_anchor_pre=None, seed_id=sid, chain_id=0,
+                anchor_useless=bool(useless), duplicate=bool(dup)))
+        chains = []
+        resolve_tree(anchors, chains)
+        rt = native.resolve_tree_m2(rows, M3_ANCHOR_THRESHOLD,
+                                    MAX_DIS_MINUS, MAX_WAITING_LEN)
+        assert rt is not None
+        crow, anc3 = rt
+        assert len(crow) == len(chains)
+        for i, c in enumerate(chains):
+            r = crow[i]
+            assert (c.ref_id, c.sum_score, c.anchor_number, c.direction,
+                    int(c.with_top_anchor), c.t_st, c.t_ed, c.q_st,
+                    c.q_ed, c.indel) == tuple(int(x) for x in r[:10])
+            # anchor triple list matches the cur->pre walk
+            a = c.chain_anchor_cur
+            trip = []
+            while a is not None:
+                trip.append((a.mtch_len, a.ref_offset, a.index_in_read))
+                a = a.chain_anchor_pre
+            off, cnt = int(r[10]), int(r[11])
+            assert trip == [tuple(int(x) for x in anc3[k])
+                            for k in range(off, off + cnt)]
