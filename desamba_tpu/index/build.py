@@ -39,6 +39,7 @@ from ..constants import (
     MIN_UNI_L,
     SINGLE_BASE_MAX_RATIO,
 )
+from ..io import native
 from ..io.fastx import read_fastx
 from .kmers import (
     BIN_BIT,
@@ -256,30 +257,51 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     sel = walkable[pair_src] & (pair_out_char == out_char[pair_src])
     succ[pair_src[sel]] = pair_dst[sel]
     del vals_cat, pos_in_kv, pair_src, pair_dst, pair_in_char, pair_out_char, adj
-    # predecessor links for offset/char computation: invert succ
-    pred = np.full(n_kmer, -1, dtype=idt)
-    src = np.flatnonzero(walkable).astype(idt)
-    pred[succ[src]] = src
-    pred[is_start] = -1  # starts have no predecessor within a unitig
-    # distance to start + head id via pointer doubling on pred
-    jmp = np.where(pred >= 0, pred, np.arange(n_kmer, dtype=idt)).astype(idt)
-    dist = (pred >= 0).astype(idt)
-    for _ in range(64):
-        nj = jmp[jmp]
-        if np.array_equal(nj, jmp):
-            break
-        dist = dist + dist[jmp]
-        jmp = nj
-    else:
-        raise AssertionError("unitig walk did not converge (cycle without start?)")
-    head_idx = jmp  # start kmer index of each kmer's unitig
-    assert is_start[head_idx].all(), "dBG contains a start-less cycle"
-    # unitig ids: rank of start kmer (ascending kmer order = reference order)
     start_locs = np.flatnonzero(is_start)
-    uid_of_start = np.full(n_kmer, -1, dtype=idt)
-    uid_of_start[start_locs] = np.arange(n_uni, dtype=idt)
-    kmer_uid = uid_of_start[head_idx]
-    kmer_off = dist  # offset of kmer within its unitig (0 = start)
+    first_base_k = ((kmer_v >> U64((B_KMER - 1) * 2)) & U64(3)).astype(
+        np.uint8)
+    kmer_uid = kmer_off = prev_char = None
+    if native.available():
+        # serial per-unitig walk in C: O(n) successor lookups instead of
+        # the doubling loop's O(n log L) random gathers (~40x at 256 MB)
+        walked = native.unitig_walk(succ.astype(np.int64),
+                                    is_start.view(np.uint8),
+                                    is_end.view(np.uint8), first_base_k)
+        if walked is not None:
+            kmer_uid, kmer_off, prev_char, n_uni_w = walked
+            assert n_uni_w == n_uni
+            prev_char[start_locs[0]] = CHAR_DOLLAR
+    if kmer_uid is None:
+        # predecessor links for offset/char computation: invert succ
+        pred = np.full(n_kmer, -1, dtype=idt)
+        src = np.flatnonzero(walkable).astype(idt)
+        pred[succ[src]] = src
+        pred[is_start] = -1  # starts have no predecessor within a unitig
+        # distance to start + head id via pointer doubling on pred
+        jmp = np.where(pred >= 0, pred, np.arange(n_kmer, dtype=idt)).astype(idt)
+        dist = (pred >= 0).astype(idt)
+        for _ in range(64):
+            nj = jmp[jmp]
+            if np.array_equal(nj, jmp):
+                break
+            dist = dist + dist[jmp]
+            jmp = nj
+        else:
+            raise AssertionError("unitig walk did not converge (cycle without start?)")
+        head_idx = jmp  # start kmer index of each kmer's unitig
+        assert is_start[head_idx].all(), "dBG contains a start-less cycle"
+        # unitig ids: rank of start kmer (ascending order = reference order)
+        uid_of_start = np.full(n_kmer, -1, dtype=idt)
+        uid_of_start[start_locs] = np.arange(n_uni, dtype=idt)
+        kmer_uid = uid_of_start[head_idx]
+        kmer_off = dist  # offset of kmer within its unitig (0 = start)
+        prev_char = np.empty(n_kmer, dtype=np.uint8)
+        has_pred = pred >= 0
+        prev_char[has_pred] = (kmer_v[pred[has_pred]]
+                               >> U64((B_KMER - 1) * 2)).astype(np.uint8) & 0x3
+        prev_char[is_start] = CHAR_HASH
+        prev_char[start_locs[0]] = CHAR_DOLLAR
+        del succ, pred, jmp, head_idx, uid_of_start, has_pred
     # unitig lengths: 31 + offset of end kmer
     end_locs = np.flatnonzero(is_end)
     uni_len = np.zeros(n_uni + 1, dtype=np.uint32)
@@ -287,15 +309,7 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     end_kmer_of_uid = np.zeros(n_uni, dtype=U64)
     end_kmer_of_uid[kmer_uid[end_locs]] = kmer_v[end_locs]
     start_kmer_of_uid = kmer_v[start_locs]
-    # BWT char per kmer: '#' for starts ('$' for unitig 0's start = lowest
-    # start kmer, src/idx.c:739), else first base of predecessor kmer
-    prev_char = np.empty(n_kmer, dtype=np.uint8)
-    has_pred = pred >= 0
-    prev_char[has_pred] = (kmer_v[pred[has_pred]] >> U64((B_KMER - 1) * 2)).astype(np.uint8) & 0x3
-    prev_char[is_start] = CHAR_HASH
-    prev_char[start_locs[0]] = CHAR_DOLLAR
-    del succ, pred, jmp, head_idx, uid_of_start, has_pred, walkable
-    del low, ob, out_char, in_edges, out_edges, in_cnt, out_cnt
+    del walkable, low, ob, out_char, in_edges, out_edges, in_cnt, out_cnt
     del marked_start, marked_end, is_start, is_end
     progress("unitig walk")
 

@@ -17,7 +17,8 @@ import numpy as np
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "csrc")
 _SRCS = [os.path.join(_CSRC, "fastx.c"), os.path.join(_CSRC, "islands.c"),
-         os.path.join(_CSRC, "goldhot.c"), os.path.join(_CSRC, "rescorehot.c")]
+         os.path.join(_CSRC, "goldhot.c"), os.path.join(_CSRC, "rescorehot.c"),
+         os.path.join(_CSRC, "buildhot.c")]
 _LIB = None
 _TRIED = False
 
@@ -64,6 +65,10 @@ def _build():
     lib.mem_run.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64]
+    lib.unitig_walk.restype = ctypes.c_int64
+    lib.unitig_walk.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.resolve_tree_m2.restype = ctypes.c_int64
     lib.resolve_tree_m2.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -207,6 +212,24 @@ def mem_run(qbuf: np.ndarray, qi: int, t: np.ndarray, ti: int,
     """Native exact-match run (csrc/goldhot.c); == gold _mem_q."""
     return _LIB.mem_run(qbuf.ctypes.data, len(qbuf), qi, t.ctypes.data,
                         len(t), ti, 1 if forward else 0, maxlen)
+
+
+def unitig_walk(succ: np.ndarray, is_start: np.ndarray,
+                is_end: np.ndarray, first_base: np.ndarray):
+    """Native serial unitig walk (csrc/buildhot.c); == the index
+    builder's pointer-doubling derivation of (uid, offset, prev_char).
+    Returns (uid, off, prev_char, n_uni) or None (cycle -> fallback)."""
+    n = len(succ)
+    uid = np.empty(n, np.int64)
+    off = np.empty(n, np.int64)
+    pc = np.empty(n, np.uint8)
+    n_uni = _LIB.unitig_walk(succ.ctypes.data, is_start.ctypes.data,
+                             is_end.ctypes.data, first_base.ctypes.data,
+                             n, uid.ctypes.data, off.ctypes.data,
+                             pc.ctypes.data)
+    if n_uni < 0:
+        return None
+    return uid, off, pc, int(n_uni)
 
 
 def resolve_tree_m2(arows: np.ndarray, m3_threshold: int,
