@@ -319,6 +319,35 @@ void store_kmers_vals(const uint8_t *bin_read, int64_t n_kmers,
     }
 }
 
+/* build_exist_tables: one pass over the unitig text setting both
+ * existence bit tables (index/build.py existence-filter stage;
+ * src/idx.c:964-1026). text chars are 0..3 bases / 4 separators; a
+ * window is hashed only when fully ACGT. */
+void build_exist_tables(const uint8_t *text, int64_t n, int64_t l_ek,
+                        uint64_t hash_mask, uint8_t *ek0, uint8_t *ek1) {
+    int64_t nk = n - l_ek + 1;
+    if (nk <= 0) return;
+    const uint64_t kmask =
+        l_ek >= 32 ? ~0ull : ((1ull << (2 * l_ek)) - 1);
+    uint64_t kv = 0;
+    int64_t invalid_until = -1;
+    for (int64_t j = 0; j < l_ek - 1; j++) {
+        uint8_t c = text[j];
+        if (c >= 4) invalid_until = j;
+        kv = (kv << 2) | (c & 3);
+    }
+    for (int64_t i = 0; i < nk; i++) {
+        uint8_t c = text[i + l_ek - 1];
+        if (c >= 4) invalid_until = i + l_ek - 1;
+        kv = ((kv << 2) | (c & 3)) & kmask;
+        if (invalid_until >= i) continue;
+        uint64_t h1 = wang1(kv) & hash_mask;
+        ek0[h1 >> 3] |= (uint8_t)(0x80u >> (h1 & 7));
+        uint64_t h2 = wang2(kv) & hash_mask;
+        ek1[h2 >> 3] |= (uint8_t)(0x80u >> (h2 & 7));
+    }
+}
+
 void exist_hits(const uint8_t *bin_read, int64_t n_kmers, int64_t l_ek,
                 int64_t single_base_max, const uint8_t *ek0,
                 const uint8_t *ek1, uint64_t hash_mask, uint8_t *out) {

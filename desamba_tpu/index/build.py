@@ -488,21 +488,26 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
         text[tail_pos + j] = b
     ekmer0 = np.zeros(e_kmer_size, dtype=np.uint8)
     ekmer1 = np.zeros(e_kmer_size, dtype=np.uint8)
-    m = valid_kmer_mask(text < 4, len_e_kmer)
-    text3 = np.minimum(text, 3)
-    # chunked: the hash intermediates are ~33 bytes per text position.
-    # Bit-sets OR per bit lane with fancy |= (duplicates write the same
-    # value; ufunc.at is ~100x slower)
-    CH = 1 << 26
-    for lo in range(0, len(m), CH):
-        hi = min(len(m), lo + CH)
-        ekv = rolling_kmers(text3[lo : hi + len_e_kmer - 1],
-                            len_e_kmer)[m[lo:hi]]
-        h1 = (hash64_1(ekv) & U64(e_hash_mask)).astype(np.int64)
-        h2 = (hash64_2(ekv) & U64(e_hash_mask)).astype(np.int64)
-        for b in range(8):
-            ekmer0[(h1[(h1 & 7) == b]) >> 3] |= np.uint8(0x80 >> b)
-            ekmer1[(h2[(h2 & 7) == b]) >> 3] |= np.uint8(0x80 >> b)
+    if native.available():
+        # one native pass sets both bit tables (~20x the chunked numpy)
+        native.build_exist_tables(text, len_e_kmer, e_hash_mask, ekmer0,
+                                  ekmer1)
+    else:
+        m = valid_kmer_mask(text < 4, len_e_kmer)
+        text3 = np.minimum(text, 3)
+        # chunked: the hash intermediates are ~33 bytes per position.
+        # Bit-sets OR per bit lane with fancy |= (duplicates write the
+        # same value; ufunc.at is ~100x slower)
+        CH = 1 << 26
+        for lo in range(0, len(m), CH):
+            hi = min(len(m), lo + CH)
+            ekv = rolling_kmers(text3[lo : hi + len_e_kmer - 1],
+                                len_e_kmer)[m[lo:hi]]
+            h1 = (hash64_1(ekv) & U64(e_hash_mask)).astype(np.int64)
+            h2 = (hash64_2(ekv) & U64(e_hash_mask)).astype(np.int64)
+            for b in range(8):
+                ekmer0[(h1[(h1 & 7) == b]) >> 3] |= np.uint8(0x80 >> b)
+                ekmer1[(h2[(h2 & 7) == b]) >> 3] |= np.uint8(0x80 >> b)
     progress("existence filter")
 
     return IndexData(

@@ -65,6 +65,10 @@ def _build():
     lib.mem_run.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64]
+    lib.build_exist_tables.restype = None
+    lib.build_exist_tables.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.unitig_walk.restype = ctypes.c_int64
     lib.unitig_walk.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -212,6 +216,14 @@ def mem_run(qbuf: np.ndarray, qi: int, t: np.ndarray, ti: int,
     """Native exact-match run (csrc/goldhot.c); == gold _mem_q."""
     return _LIB.mem_run(qbuf.ctypes.data, len(qbuf), qi, t.ctypes.data,
                         len(t), ti, 1 if forward else 0, maxlen)
+
+
+def build_exist_tables(text: np.ndarray, l_ek: int, hash_mask: int,
+                       ek0: np.ndarray, ek1: np.ndarray) -> None:
+    """Native existence-table build (csrc/goldhot.c); == the chunked
+    numpy hashing in index/build.py."""
+    _LIB.build_exist_tables(text.ctypes.data, len(text), l_ek, hash_mask,
+                            ek0.ctypes.data, ek1.ctypes.data)
 
 
 def unitig_walk(succ: np.ndarray, is_start: np.ndarray,
