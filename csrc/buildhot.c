@@ -46,3 +46,55 @@ int64_t unitig_walk(const int64_t *succ, const uint8_t *is_start,
     if (visited != n_kmer) return -1;
     return n_uni;
 }
+
+/* sort_unique_u64: sorted unique values + inverse map (the builder's
+ * np.unique(vals, return_inverse=True) over the genome's 31-mers —
+ * jellyfish + kmersort equivalent, src/idx_sort.c). 8-pass LSD radix
+ * carrying the original index; one walk emits unique ranks. Returns
+ * the unique count, or -1 on allocation failure. */
+#include <stdlib.h>
+#include <string.h>
+
+int64_t sort_unique_u64(const uint64_t *vals, int64_t n,
+                        uint64_t *uniq, int64_t *inverse) {
+    if (n <= 0) return 0;
+    uint64_t *va = (uint64_t *)malloc((size_t)n * 8);
+    uint64_t *vb = (uint64_t *)malloc((size_t)n * 8);
+    int64_t *ia = (int64_t *)malloc((size_t)n * 8);
+    int64_t *ib = (int64_t *)malloc((size_t)n * 8);
+    if (!va || !vb || !ia || !ib) {
+        free(va); free(vb); free(ia); free(ib);
+        return -1;
+    }
+    memcpy(va, vals, (size_t)n * 8);
+    for (int64_t i = 0; i < n; i++) ia[i] = i;
+    int64_t hist[256];
+    for (int pass = 0; pass < 8; pass++) {
+        int shift = pass * 8;
+        memset(hist, 0, sizeof(hist));
+        for (int64_t i = 0; i < n; i++)
+            hist[(va[i] >> shift) & 255]++;
+        if (hist[0] == n) continue;  /* all high bytes zero: done early */
+        int64_t acc = 0;
+        for (int b = 0; b < 256; b++) {
+            int64_t t = hist[b];
+            hist[b] = acc;
+            acc += t;
+        }
+        for (int64_t i = 0; i < n; i++) {
+            int64_t at = hist[(va[i] >> shift) & 255]++;
+            vb[at] = va[i];
+            ib[at] = ia[i];
+        }
+        uint64_t *tv = va; va = vb; vb = tv;
+        int64_t *ti = ia; ia = ib; ib = ti;
+    }
+    int64_t nu = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (i == 0 || va[i] != va[i - 1])
+            uniq[nu++] = va[i];
+        inverse[ia[i]] = nu - 1;
+    }
+    free(va); free(vb); free(ia); free(ib);
+    return nu;
+}

@@ -188,9 +188,14 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
     del all_vals  # the concatenated copy is the only one the passes need
     # return_inverse gives every occurrence's row in kmer_v for free — a
     # searchsorted join here costs ~1.4 us/lookup (latency-bound binary
-    # search), 15+ s at RefSeq-viral scale
-    kmer_v, pos_in_kv = np.unique(vals_cat, return_inverse=True)
-    pos_in_kv = pos_in_kv.astype(np.int64)
+    # search), 15+ s at RefSeq-viral scale. The native radix path is the
+    # kmersort equivalent (~4x numpy's introsort at genome scale).
+    res = native.sort_unique_u64(vals_cat) if native.available() else None
+    if res is not None:
+        kmer_v, pos_in_kv = res
+    else:
+        kmer_v, pos_in_kv = np.unique(vals_cat, return_inverse=True)
+        pos_in_kv = pos_in_kv.astype(np.int64)
     n_kmer = len(kmer_v)
     progress(f"{n_kmer} unique 31-mers")
 

@@ -65,6 +65,9 @@ def _build():
     lib.mem_run.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64]
+    lib.sort_unique_u64.restype = ctypes.c_int64
+    lib.sort_unique_u64.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
     lib.build_exist_tables.restype = None
     lib.build_exist_tables.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
@@ -216,6 +219,19 @@ def mem_run(qbuf: np.ndarray, qi: int, t: np.ndarray, ti: int,
     """Native exact-match run (csrc/goldhot.c); == gold _mem_q."""
     return _LIB.mem_run(qbuf.ctypes.data, len(qbuf), qi, t.ctypes.data,
                         len(t), ti, 1 if forward else 0, maxlen)
+
+
+def sort_unique_u64(vals: np.ndarray):
+    """Native radix np.unique(return_inverse) (csrc/buildhot.c).
+    Returns (unique values, int64 inverse) or None on alloc failure."""
+    n = len(vals)
+    uniq = np.empty(n, np.uint64)
+    inv = np.empty(n, np.int64)
+    nu = _LIB.sort_unique_u64(vals.ctypes.data, n, uniq.ctypes.data,
+                              inv.ctypes.data)
+    if nu < 0:
+        return None
+    return uniq[:nu].copy(), inv
 
 
 def build_exist_tables(text: np.ndarray, l_ek: int, hash_mask: int,
