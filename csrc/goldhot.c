@@ -1176,6 +1176,12 @@ int64_t classify_dir(const int64_t *ctx_block, const uint8_t *buf,
                 int64_t k_idx = sd[0] + j;
                 int64_t pre_v =
                     (int64_t)(kmers[k_idx] & (uint64_t)C.pre_idx_mask);
+                if (j - 2 >= min_index)
+                    /* hide the likely next probe's hash13 jumpstart
+                       miss (the no-hit path steps -2; hint only,
+                       +2.7% interleaved A/B) */
+                    __builtin_prefetch(C.hash13 + (kmers[sd[0] + j - 2]
+                        & (uint64_t)C.pre_idx_mask), 0, 1);
                 int64_t s_idx = k_idx + C.l_ek - 1;
                 int64_t nm = fm_mem_search(
                     C.fm_blocks, C.rank6, C.dollar_pos,
@@ -1224,6 +1230,9 @@ int64_t classify_dir(const int64_t *ctx_block, const uint8_t *buf,
                 int64_t k_idx = sd[0] + j;
                 int64_t pre_v =
                     (int64_t)(kmers[k_idx] & (uint64_t)C.pre_idx_mask);
+                if (j - 2 >= 1)
+                    __builtin_prefetch(C.hash13 + (kmers[sd[0] + j - 2]
+                        & (uint64_t)C.pre_idx_mask), 0, 1);
                 int64_t s_idx = k_idx + C.l_ek - 1;
                 int64_t nm = fm_mem_search(
                     C.fm_blocks, C.rank6, C.dollar_pos,
