@@ -89,10 +89,10 @@ def _run_gold(idx, reads, opts):
     # warm-up spins the persistent worker pool + native tables outside
     # the timed region (mirrors the device path's warm-up pass)
     eng.classify_records(reads[:64], threads=threads)
-    # best of 3: the shared host's clock throttling swings single runs
-    # by 2x; the reference baseline numbers are best-observed too
+    # best of 5: the shared host's clock throttling swings single runs
+    # by 2-4x; the reference baseline numbers are best-observed too
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         eng.state.max_read_l = 0
         t0 = time.time()
         out_lines = eng.classify_records_formatted(reads, threads=threads)
