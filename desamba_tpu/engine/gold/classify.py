@@ -265,15 +265,22 @@ class ClassifyEngine:
         anc = (np.ascontiguousarray(anc3) if len(anc3)
                else np.zeros((1, 3), np.int64))
         eff = max(self.state.max_read_l, read_len)
-        params = np.array([
-            idx.ref_bin.ctypes.data, len(idx.ref_bin) * 4,
-            idx.ref_off.ctypes.data, idx.ref_len.ctypes.data,
-            buf.ctypes.data, len(buf), read_len, FORWARD, eff,
-            self.opts.filter_min_score_lv3, self.opts.filter_min_length,
-            self.opts.filter_min_score, S_A_KMER_L, OVER_SEARCH_M2,
-            MIN_SCORE_MEM, FILTER_MIN_SCORE_2G, FILTER_MIN_SCORE_SHORT_3G,
-            0,
-        ], np.int64)
+        params = getattr(self._tls, "rf_params", None)
+        if params is None:
+            params = np.array([
+                idx.ref_bin.ctypes.data, len(idx.ref_bin) * 4,
+                idx.ref_off.ctypes.data, idx.ref_len.ctypes.data,
+                0, 0, 0, FORWARD, 0,
+                self.opts.filter_min_score_lv3, self.opts.filter_min_length,
+                self.opts.filter_min_score, S_A_KMER_L, OVER_SEARCH_M2,
+                MIN_SCORE_MEM, FILTER_MIN_SCORE_2G,
+                FILTER_MIN_SCORE_SHORT_3G, 0,
+            ], np.int64)
+            self._tls.rf_params = params
+        params[4] = buf.ctypes.data
+        params[5] = len(buf)
+        params[6] = read_len
+        params[8] = eff
         n = native.rescore_finish(params, rows, anc)
         if n < 0:
             return None
