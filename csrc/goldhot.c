@@ -705,10 +705,16 @@ int64_t lazy_islands(const uint8_t *bin_read, int64_t n_kmers,
  * emits [q_start, t_start, len, 0] rows with uint32 wrap semantics.
  * Returns the row count, or -(needed) if out_cap is too small. */
 static int64_t lower_b(const uint64_t *v, int64_t n, uint64_t x) {
-    int64_t lo = 0, hi = n;
-    while (lo < hi) { int64_t m = (lo + hi) >> 1;
-        if (v[m] < x) lo = m + 1; else hi = m; }
-    return lo;
+    /* branchless (cmov) binary search: the probe values are effectively
+       random, so the branching version mispredicts every level
+       (+10% whole-engine serial, interleaved A/B) */
+    int64_t base = 0;
+    while (n > 1) {
+        int64_t half = n >> 1;
+        base += (v[base + half - 1] < x) ? half : 0;
+        n -= half;
+    }
+    return base + (n == 1 && v[base] < x ? 1 : 0);
 }
 
 static int64_t upper_b(const uint64_t *v, int64_t n, uint64_t x) {
