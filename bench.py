@@ -80,12 +80,12 @@ def _run_gold(idx, reads, opts):
     from desamba_tpu.io.sam import format_result
 
     eng = ClassifyEngine(idx, opts)
-    # 1.5x oversubscription is the measured optimum on this 4-core host
-    # (t6 8895 vs t8 8701 vs t16 7130 reads/s): enough overlap to hide
-    # the per-chunk pickle stalls without thrashing
+    # 2x oversubscription is the measured optimum for the native batch
+    # driver's thread pool on this 4-core host (t8 15045 vs t6 13150 vs
+    # t4 13175 reads/s): chunks stall briefly on the python-side result
+    # assembly, so extra threads keep the cores fed
     cores = os.cpu_count() or 4
-    threads = int(os.environ.get("DESAMBA_BENCH_THREADS",
-                                 str(cores + cores // 2)))
+    threads = int(os.environ.get("DESAMBA_BENCH_THREADS", str(2 * cores)))
     # warm-up spins the persistent worker pool + native tables outside
     # the timed region (mirrors the device path's warm-up pass)
     eng.classify_records(reads[:64], threads=threads)

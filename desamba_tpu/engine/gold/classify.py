@@ -82,6 +82,9 @@ class ClassifyEngine:
         if self._pool is not None:
             self._pool.shutdown(wait=False)
             self._pool = None
+        if getattr(self, "_tpool", None) is not None:
+            self._tpool.shutdown(wait=False)
+            self._tpool = None
 
     def __del__(self):
         try:
@@ -96,23 +99,27 @@ class ClassifyEngine:
         Returns the list of formatted output strings in input order."""
         from ...io.sam import format_result
 
+        from ...io import native
+
         premax = []
         running = self.state.max_read_l
         for r in recs:
             premax.append(running)
             if len(r.seq) >= MIN_READ_LEN:
                 running = max(running, len(r.seq))
-        if threads <= 1 or len(recs) < 32:
+        if native.available():
+            out = self._classify_batch_native(recs, premax, threads,
+                                              formatted=True)
+        elif threads <= 1 or len(recs) < 32:
             out = []
             for i, r in enumerate(recs):
                 self.state.max_read_l = premax[i]
                 out.append(format_result(
                     self.classify_read(r.name, r.seq, r.qual),
                     self.idx.ref_name, self.opts))
-            self.state.max_read_l = running
-            return out
-        out = _classify_parallel(self, recs, premax, threads,
-                                 formatted=True)
+        else:
+            out = _classify_parallel(self, recs, premax, threads,
+                                     formatted=True)
         self.state.max_read_l = running
         return out
 
@@ -126,6 +133,8 @@ class ClassifyEngine:
         regardless of thread count (the reference's per-worker state can
         drift with scheduling; t=1 semantics are its deterministic case).
         """
+        from ...io import native
+
         premax = []
         running = self.state.max_read_l
         for r in recs:
@@ -133,13 +142,122 @@ class ClassifyEngine:
             if len(r.seq) >= MIN_READ_LEN:
                 running = max(running, len(r.seq))
         out: list = [None] * len(recs)
-        if threads <= 1 or len(recs) < 32:
+        if native.available():
+            out = self._classify_batch_native(recs, premax, threads,
+                                              formatted=False)
+        elif threads <= 1 or len(recs) < 32:
             for i, r in enumerate(recs):
                 self.state.max_read_l = premax[i]
                 out[i] = self.classify_read(r.name, r.seq, r.qual)
         else:
             out = _classify_parallel(self, recs, premax, threads)
         self.state.max_read_l = running
+        return out
+
+    def _native_dp(self):
+        """Driver param block for csrc/driver.c classify_batch; pointer
+        lifetimes are pinned by self._dp_keep."""
+        import numpy as np
+
+        dp = getattr(self, "_dp", None)
+        if dp is not None:
+            return dp
+        from ...constants import (FORWARD, M3_ANCHOR_THRESHOLD,
+                                  MAX_DIS_MINUS, MAX_WAITING_LEN,
+                                  S_A_KMER_L, MIN_SCORE_MEM, OVER_SEARCH_M2,
+                                  FILTER_MIN_SCORE_2G,
+                                  FILTER_MIN_SCORE_SHORT_3G, SEED_RANGE,
+                                  STEP_EK)
+        from .mapseed import _ms_ctx
+
+        idx = self.idx
+        ctx = _ms_ctx(idx, self.fm, self.loc, self.q_mem, self.q_lv)
+        rf = np.array([
+            idx.ref_bin.ctypes.data, len(idx.ref_bin) * 4,
+            idx.ref_off.ctypes.data, idx.ref_len.ctypes.data,
+            0, 0, 0, FORWARD, 0,
+            self.opts.filter_min_score_lv3, self.opts.filter_min_length,
+            self.opts.filter_min_score, S_A_KMER_L, OVER_SEARCH_M2,
+            MIN_SCORE_MEM, FILTER_MIN_SCORE_2G, FILTER_MIN_SCORE_SHORT_3G,
+            0,
+        ], np.int64)
+        dp = np.array([
+            ctx.ctypes.data, rf.ctypes.data,
+            idx.ekmer0.ctypes.data, idx.ekmer1.ctypes.data,
+            idx.e_hash_mask, STEP_EK, SEED_RANGE,
+            M3_ANCHOR_THRESHOLD, MAX_DIS_MINUS, MAX_WAITING_LEN,
+            MIN_READ_LEN,
+        ], np.int64)
+        self._dp_keep = (ctx, rf)
+        self._dp = dp
+        return dp
+
+    def _result_from_rows(self, name, seq, qual, m, crows):
+        """ReadResult from one read's driver output (meta row + final
+        chain rows)."""
+        from .chain import Chain
+
+        res = ReadResult(name, seq, qual, len(seq))
+        res.fast = bool(m[3])
+        res.anchors = [None] * int(m[2])
+        res.chains = [Chain(
+            ref_id=int(r[0]), q_t_dis=0, sum_score=int(r[1]),
+            anchor_number=int(r[2]), direction=int(r[3]),
+            with_top_anchor=bool(r[4]), primary=int(r[12]),
+            pri_index=int(r[13]), t_st=int(r[5]), t_ed=int(r[6]),
+            q_st=int(r[7]), q_ed=int(r[8]), indel=int(r[9]),
+            chain_id=i, chain_anchor_cur=None)
+            for i, r in enumerate(crows[: int(m[1])])]
+        return res
+
+    def _classify_batch_native(self, recs, premax, threads, formatted):
+        """Batch classify through the native per-read driver
+        (csrc/driver.c) — the whole mode ladder runs in C with the GIL
+        released, so a THREAD pool scales; only fallback reads (M3
+        chaining, caps) and result/SAM assembly stay in python."""
+        import numpy as np
+
+        from ...io import native
+        from ...io.sam import format_result
+
+        dp = self._native_dp()
+
+        def run(lo, hi):
+            chunk = recs[lo:hi]
+            lens = np.array([len(r.seq) for r in chunk], np.int64)
+            effs = np.maximum(np.asarray(premax[lo:hi], np.int64), lens)
+            seqs = "".join(r.seq for r in chunk).encode()
+            meta, chains = native.classify_batch(dp, seqs, lens, effs)
+            out = []
+            for i, r in enumerate(chunk):
+                if meta[i, 0] < 0:
+                    self.state.max_read_l = premax[lo + i]
+                    rr = self.classify_read(r.name, r.seq, r.qual)
+                else:
+                    rr = self._result_from_rows(r.name, r.seq, r.qual,
+                                                meta[i], chains[i])
+                out.append(format_result(rr, self.idx.ref_name, self.opts)
+                           if formatted else rr)
+            return out
+
+        n = len(recs)
+        if threads <= 1 or n < 64:
+            return run(0, n)
+        from concurrent.futures import ThreadPoolExecutor
+
+        if getattr(self, "_tpool", None) is None or \
+                self._tpool_threads != threads:
+            if getattr(self, "_tpool", None) is not None:
+                self._tpool.shutdown(wait=False)
+            self._tpool = ThreadPoolExecutor(max_workers=threads)
+            self._tpool_threads = threads
+        n_chunks = min(n, threads * 4)
+        bounds = [n * j // n_chunks for j in range(n_chunks + 1)]
+        futs = [self._tpool.submit(run, bounds[j], bounds[j + 1])
+                for j in range(n_chunks)]
+        out: list = []
+        for f in futs:
+            out.extend(f.result())
         return out
 
     def classify_read(self, name: str, seq: str, qual: str | None = None) -> ReadResult:

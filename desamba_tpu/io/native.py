@@ -18,7 +18,7 @@ _CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "csrc")
 _SRCS = [os.path.join(_CSRC, "fastx.c"), os.path.join(_CSRC, "islands.c"),
          os.path.join(_CSRC, "goldhot.c"), os.path.join(_CSRC, "rescorehot.c"),
-         os.path.join(_CSRC, "buildhot.c")]
+         os.path.join(_CSRC, "buildhot.c"), os.path.join(_CSRC, "driver.c")]
 _LIB = None
 _TRIED = False
 
@@ -115,6 +115,10 @@ def _build():
     lib.exist_hits.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p]
+    lib.classify_batch.restype = ctypes.c_int64
+    lib.classify_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.sdp_match.restype = ctypes.c_int64
     lib.sdp_match.argtypes = [
         ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_int64,
@@ -416,6 +420,37 @@ def sdp_match(q_bg: int, q_ed: int, qbuf: np.ndarray, qbase: int,
                          t_len, t_st, forward, over_search, k9, sms)
     for k in range(n):
         sms.append([int(out[k, 0]), int(out[k, 1]), int(out[k, 2]), 0])
+
+
+CHAIN_CAP = 64
+
+
+def classify_batch(dp: np.ndarray, seqs: bytes, lens: np.ndarray,
+                   effs: np.ndarray):
+    """Native per-read classify driver over a batch (csrc/driver.c);
+    == ClassifyEngine._classify_read_rows per read. Returns
+    (meta (n,4) [status, n_chains, n_anchors, fast], chains
+    (n, CHAIN_CAP, 14)) — both views into per-thread scratch; a read
+    with meta[i,0] < 0 needs the python fallback path."""
+    n = len(lens)
+    meta = _scratch_n("cb_meta", n, 4)
+    chains = _scratch_n("cb_chains", n, CHAIN_CAP * 14)
+    rc = _LIB.classify_batch(dp.ctypes.data, seqs, lens.ctypes.data,
+                             effs.ctypes.data, n, meta.ctypes.data,
+                             chains.ctypes.data, CHAIN_CAP)
+    if rc < 0:
+        raise MemoryError("classify_batch scratch allocation failed")
+    return (meta[:n].reshape(n, 4),
+            chains[:n].reshape(n, CHAIN_CAP, 14))
+
+
+def _scratch_n(name, n, row_width, dtype=np.int64):
+    """Per-thread scratch with a grow-to-fit leading dimension."""
+    buf = getattr(_TLS, name, None)
+    if buf is None or len(buf) < n:
+        buf = np.empty((max(n, 64), row_width), dtype)
+        setattr(_TLS, name, buf)
+    return buf
 
 
 def islands_batch(hits: np.ndarray, n_kmers: np.ndarray, dirs: np.ndarray,
