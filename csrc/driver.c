@@ -195,6 +195,189 @@ static void drv_classify_one(const Drv *d, const char *seq, int64_t len,
     memcpy(chains_out, chains, (size_t)fin * 14 * sizeof(int64_t));
 }
 
+/* ---- SAM emitter (io/sam.py format_sam, byte-faithful) ------------- */
+
+static char *put_s(char *p, const char *s, int64_t n) {
+    memcpy(p, s, (size_t)n);
+    return p + n;
+}
+
+static char *put_i(char *p, int64_t v) {
+    char tmp[24];
+    int k = 0;
+    if (v == 0) { *p++ = '0'; return p; }
+    if (v < 0) { *p++ = '-'; v = -v; }
+    while (v > 0) { tmp[k++] = (char)('0' + v % 10); v /= 10; }
+    while (k > 0) *p++ = tmp[--k];
+    return p;
+}
+
+/* one read's SAM record(s); returns bytes needed. Writes only while
+ * the result fits in [out, out+cap). */
+static int64_t sam_one(const char *name, int64_t name_l, const char *seq,
+                       const char *qual, int64_t read_l, int64_t output_seq,
+                       const int64_t *chains, int64_t nc,
+                       const char *ref_names, const int64_t *ref_offs,
+                       int64_t max_sec_n, char *out, int64_t cap) {
+    /* worst case per line: name + ref + seq/qual + ~120 of numbers */
+    char stack[512];
+    int64_t w = 0;
+    const char *seq_s = output_seq ? seq : "*";
+    int64_t seq_l = output_seq ? read_l : 1;
+    const char *qual_s = (output_seq && qual) ? qual : "*";
+    int64_t qual_l = (output_seq && qual) ? read_l : 1;
+    if (nc == 0) {
+        int64_t need = name_l + seq_l + qual_l + 24;
+        if (w + need <= cap) {
+            char *p = out;
+            p = put_s(p, name, name_l);
+            p = put_s(p, "\t4\t*\t0\t0\t*\t*\t0\t0\t", 17);
+            p = put_s(p, seq_s, seq_l);
+            *p++ = '\t';
+            p = put_s(p, qual_s, qual_l);
+            *p++ = '\t'; *p++ = '\n';
+            return p - out;
+        }
+        return need;
+    }
+    const int64_t *c0 = chains;
+    int64_t mapq_pri;
+    if (nc == 1 || (c0[1] - chains[14 + 1] > 5)) mapq_pri = 30;
+    else mapq_pri = (c0[1] - chains[14 + 1]) << 2;
+    for (int pass = 0; pass < 3; pass++) {
+        int64_t lo = pass == 0 ? 0 : 1;
+        for (int64_t i = lo; i < (pass == 0 ? 1 : nc); i++) {
+            const int64_t *c = chains + 14 * i;
+            int64_t flag = c[3] ? 0 : 0x10;
+            int64_t mapq = 0;
+            char hs = 'S';
+            const char *sq = "*", *ql = "*";
+            int64_t sql = 1, qll = 1;
+            if (pass == 0) {
+                mapq = mapq_pri;
+                sq = seq_s; sql = seq_l; ql = qual_s; qll = qual_l;
+            } else if (pass == 1) {
+                if (c[13] != 0) continue;       /* pri_index */
+                flag += 0x800;
+                mapq = mapq_pri < 30 ? mapq_pri : 30;
+                hs = 'H';
+            } else {
+                if (!(c[13] > 0 && c[13] <= max_sec_n)) continue;
+                flag += 0x100;
+            }
+            const char *rn = ref_names + ref_offs[c[0]];
+            int64_t rn_l = ref_offs[c[0] + 1] - ref_offs[c[0]];
+            char *p = stack;
+            *p++ = '\t';
+            p = put_i(p, flag); *p++ = '\t';
+            /* ref name copied outside the stack buffer (can be long) */
+            char *head_end = p;
+            p = stack + 64;     /* second scratch region: after-ref part */
+            p = put_i(p, c[5]); *p++ = '\t';         /* t_st */
+            p = put_i(p, mapq); *p++ = '\t';
+            p = put_i(p, c[7]); *p++ = hs;           /* q_st */
+            p = put_i(p, c[8] - c[7]); *p++ = 'M';
+            p = put_i(p, read_l - c[8]); *p++ = hs;
+            p = put_s(p, "\t*\t0\t0\t", 7);
+            char *mid_end = p;
+            int64_t need = name_l + (head_end - stack) + rn_l + 1 +
+                           (mid_end - (stack + 64)) + sql + 1 + qll +
+                           6 + 20 + 2;
+            if (w + need <= cap) {
+                char *q = out + w;
+                q = put_s(q, name, name_l);
+                q = put_s(q, stack, head_end - stack);
+                q = put_s(q, rn, rn_l);
+                *q++ = '\t';
+                q = put_s(q, stack + 64, mid_end - (stack + 64));
+                q = put_s(q, sq, sql);
+                *q++ = '\t';
+                q = put_s(q, ql, qll);
+                q = put_s(q, "\tAS:i:", 6);
+                q = put_i(q, c[1]);
+                *q++ = '\t'; *q++ = '\n';
+                w = q - out;
+            } else {
+                w += need;   /* overflow: keep counting bytes needed */
+                cap = -1;    /* force count-only from here on */
+            }
+        }
+    }
+    return w;
+}
+
+/* Batch entry with SAM formatting fused in. names/ref_names are
+ * concatenated blobs with offs[n+1]; quals may be NULL (then "*").
+ * out_offs: (n+1) int64 record boundaries; meta as classify_batch.
+ * Returns total bytes written, or -(bytes needed) when out_cap was too
+ * small (caller re-allocates and retries), or INT64_MIN on alloc
+ * failure. */
+int64_t classify_batch_sam(const int64_t *dp, const char *seqs,
+                           const int64_t *lens, const int64_t *effs,
+                           int64_t n_reads, const char *names,
+                           const int64_t *name_offs, const char *quals,
+                           const char *ref_names, const int64_t *ref_offs,
+                           int64_t max_sec_n, int64_t output_seq,
+                           int64_t *out_meta, char *out, int64_t out_cap,
+                           int64_t *out_offs) {
+    int64_t rc = 0;
+    if (!drv_code_init) {
+        for (int i = 0; i < 256; i++) DRV_CODE[i] = 1;
+        DRV_CODE['A'] = DRV_CODE['a'] = 0;
+        DRV_CODE['C'] = DRV_CODE['c'] = 1;
+        DRV_CODE['G'] = DRV_CODE['g'] = 2;
+        DRV_CODE['T'] = DRV_CODE['t'] = 3;
+        drv_code_init = 1;
+    }
+    Drv d;
+    drv_load(&d, dp);
+    int64_t max_len = 1;
+    for (int64_t i = 0; i < n_reads; i++)
+        if (lens[i] > max_len) max_len = lens[i];
+    DrvScratch S;
+    int64_t scap = max_len / 2 + 68;
+    S.buf = (uint8_t *)malloc((size_t)(2 * max_len));
+    S.seeds[0] = (int32_t *)malloc((size_t)scap * 3 * sizeof(int32_t));
+    S.seeds[1] = (int32_t *)malloc((size_t)scap * 3 * sizeof(int32_t));
+    S.rows13 = (int64_t *)malloc(DRV_ROWCAP * 13 * sizeof(int64_t));
+    S.cat14 = (int64_t *)malloc(DRV_CATCAP * 14 * sizeof(int64_t));
+    int64_t *chains = (int64_t *)malloc(DRV_CCAP * 14 * sizeof(int64_t));
+    if (!S.buf || !S.seeds[0] || !S.seeds[1] || !S.rows13 || !S.cat14 ||
+        !chains) {
+        rc = INT64_MIN;
+        goto done;
+    }
+    {
+        int64_t off = 0, w = 0, short_cap = 0;
+        for (int64_t i = 0; i < n_reads; i++) {
+            int64_t meta[4];
+            drv_classify_one(&d, seqs + off, lens[i], effs[i], meta, chains,
+                             &S);
+            out_meta[4 * i] = meta[0];
+            out_meta[4 * i + 1] = meta[1];
+            out_meta[4 * i + 2] = meta[2];
+            out_meta[4 * i + 3] = meta[3];
+            out_offs[i] = w;
+            if (meta[0] == 0) {
+                int64_t need = sam_one(
+                    names + name_offs[i], name_offs[i + 1] - name_offs[i],
+                    seqs + off, quals ? quals + off : 0, lens[i],
+                    output_seq, chains, meta[1], ref_names, ref_offs,
+                    max_sec_n, out + w, short_cap ? -1 : out_cap - w);
+                if (!short_cap && w + need > out_cap) short_cap = 1;
+                w += need;
+            }
+            off += lens[i];
+        }
+        out_offs[n_reads] = w;
+        rc = short_cap ? -w : w;
+    }
+done:
+    free(S.buf); free(S.seeds[0]); free(S.seeds[1]);
+    free(S.rows13); free(S.cat14); free(chains);
+    return rc;
+}
+
 /* Batch entry: seqs = concatenated ASCII reads, lens[n], effs[n] =
  * max(prefix max_read_l, len) per read (classify.py premax contract).
  * out_meta: (n,4) int64; out_chains: (n, chain_cap, 14) int64.

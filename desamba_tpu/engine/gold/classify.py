@@ -221,14 +221,53 @@ class ClassifyEngine:
         from ...io.sam import format_result
 
         dp = self._native_dp()
+        fmt = self.opts.out_format
+        sam_in_c = formatted and fmt in ("SAM", "SAM_FULL")
+        if sam_in_c:
+            blob = getattr(self, "_ref_blob", None)
+            if blob is None:
+                enc = [s.encode() for s in self.idx.ref_name]
+                offs = np.zeros(len(enc) + 1, np.int64)
+                np.cumsum([len(e) for e in enc], out=offs[1:])
+                blob = (b"".join(enc), offs)
+                self._ref_blob = blob
+            ref_blob, ref_offs = blob
 
         def run(lo, hi):
             chunk = recs[lo:hi]
             lens = np.array([len(r.seq) for r in chunk], np.int64)
             effs = np.maximum(np.asarray(premax[lo:hi], np.int64), lens)
             seqs = "".join(r.seq for r in chunk).encode()
-            meta, chains = native.classify_batch(dp, seqs, lens, effs)
             out = []
+            if sam_in_c:
+                output_seq = fmt == "SAM_FULL"
+                quals = None
+                ok = True
+                if output_seq:
+                    n_q = sum(r.qual is not None for r in chunk)
+                    if n_q == len(chunk):
+                        quals = "".join(r.qual for r in chunk).encode()
+                    elif n_q:     # mixed qual presence: python formatter
+                        ok = False
+                if ok:
+                    names = [r.name.encode() for r in chunk]
+                    name_offs = np.zeros(len(names) + 1, np.int64)
+                    np.cumsum([len(e) for e in names], out=name_offs[1:])
+                    meta, text, t_offs = native.classify_batch_sam(
+                        dp, seqs, lens, effs, b"".join(names), name_offs,
+                        quals, ref_blob, ref_offs, self.opts.max_sec_n,
+                        output_seq)
+                    for i, r in enumerate(chunk):
+                        if meta[i, 0] < 0:
+                            self.state.max_read_l = premax[lo + i]
+                            rr = self.classify_read(r.name, r.seq, r.qual)
+                            out.append(format_result(rr, self.idx.ref_name,
+                                                     self.opts))
+                        else:
+                            out.append(
+                                text[t_offs[i]:t_offs[i + 1]].decode())
+                    return out
+            meta, chains = native.classify_batch(dp, seqs, lens, effs)
             for i, r in enumerate(chunk):
                 if meta[i, 0] < 0:
                     self.state.max_read_l = premax[lo + i]

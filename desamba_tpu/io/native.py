@@ -31,10 +31,19 @@ def _build():
     tag = h.hexdigest()[:12]
     so = os.path.join(tempfile.gettempdir(), f"libdesnative_{tag}.so")
     if not os.path.exists(so):
-        subprocess.run(
-            ["cc", "-O3", "-shared", "-fPIC", "-o", so + ".tmp", *_SRCS,
-             "-lz"],
-            check=True, capture_output=True)
+        # -march=native turns the popcount tables / hash mixing into
+        # single instructions where available; fall back to plain -O3
+        # for unknown toolchains
+        for extra in (["-march=native", "-funroll-loops"], []):
+            try:
+                subprocess.run(
+                    ["cc", "-O3", *extra, "-shared", "-fPIC", "-o",
+                     so + ".tmp", *_SRCS, "-lz"],
+                    check=True, capture_output=True)
+                break
+            except subprocess.CalledProcessError:
+                if not extra:
+                    raise
         os.replace(so + ".tmp", so)
     lib = ctypes.CDLL(so)
     lib.fastx_open.restype = ctypes.c_void_p
@@ -119,6 +128,12 @@ def _build():
     lib.classify_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+    lib.classify_batch_sam.restype = ctypes.c_int64
+    lib.classify_batch_sam.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p]
     lib.sdp_match.restype = ctypes.c_int64
     lib.sdp_match.argtypes = [
         ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_int64,
@@ -442,6 +457,34 @@ def classify_batch(dp: np.ndarray, seqs: bytes, lens: np.ndarray,
         raise MemoryError("classify_batch scratch allocation failed")
     return (meta[:n].reshape(n, 4),
             chains[:n].reshape(n, CHAIN_CAP, 14))
+
+
+def classify_batch_sam(dp: np.ndarray, seqs: bytes, lens: np.ndarray,
+                       effs: np.ndarray, names: bytes,
+                       name_offs: np.ndarray, quals: bytes | None,
+                       ref_names: bytes, ref_offs: np.ndarray,
+                       max_sec_n: int, output_seq: bool):
+    """classify_batch with the SAM formatter fused in (csrc/driver.c);
+    == classify_batch + io.sam.format_sam per read. Returns
+    (meta (n,4), sam_text bytes, out_offs (n+1)) — a read with
+    meta[i,0] < 0 has an empty text slice and needs the python path."""
+    n = len(lens)
+    meta = _scratch_n("cbs_meta", n, 4)
+    offs = _scratch_n("cbs_offs", n + 1, 1).reshape(-1)
+    cap = len(seqs) * (2 if output_seq else 0) + len(names) + 256 * n + 4096
+    for _ in range(2):
+        buf = ctypes.create_string_buffer(cap)
+        w = _LIB.classify_batch_sam(
+            dp.ctypes.data, seqs, lens.ctypes.data, effs.ctypes.data, n,
+            names, name_offs.ctypes.data, quals, ref_names,
+            ref_offs.ctypes.data, max_sec_n, 1 if output_seq else 0,
+            meta.ctypes.data, buf, cap, offs.ctypes.data)
+        if w == -(1 << 63):
+            raise MemoryError("classify_batch_sam scratch allocation")
+        if w >= 0:
+            return meta[:n].reshape(n, 4), buf.raw[:w], offs[: n + 1]
+        cap = -w + 4096
+    raise RuntimeError("classify_batch_sam buffer sizing failed")
 
 
 def _scratch_n(name, n, row_width, dtype=np.int64):
