@@ -12,6 +12,13 @@ Layout choices (TPU-first, see DESIGN.md):
     samples (src/cly.c:737-760).
   - hash13: uint32[2^26+1] — 13-mer -> row interval starts.
   - ekmer0/1: uint8 bit tables for the existence filter.
+  - position-space walk tables (round 3): the unitig text itself, packed
+    2-bit (text_pk) with '#'/'$' bitmaps, the inverse SA (isa: text
+    position -> BWT row), a sampled-position bitmap and a direct
+    position -> unitig map. These replace the reference's sequential
+    LF-walks (src/cly.c:1344-1383, 706-760) with O(1) packed-word
+    gathers + vector compares: a walk of w matching chars costs ~w/16
+    word gathers instead of w dependent row gathers.
 """
 from __future__ import annotations
 
@@ -45,6 +52,13 @@ class DeviceIndex:
     ref_bin: jnp.ndarray     # packed 2-bit reference, uint8
     q_mem: jnp.ndarray       # (Q_MEM_MAX,) int32 MAPQ tables
     q_lv: jnp.ndarray        # (20, 20) int32
+    # position-space walk tables
+    text_pk: jnp.ndarray     # (1, ceil(L/16)) uint32 packed 2-bit text
+    sep_any: jnp.ndarray     # (ceil(L/32),) uint32: bit q = text[q] >= 4
+    sep_hash: jnp.ndarray    # (ceil(L/32),) uint32: bit q = text[q] == '#'
+    samp_bits: jnp.ndarray   # (ceil(L/32),) uint32: bit q = isa[q] % 8 == 0
+    isa: jnp.ndarray         # (L,) int32: text position -> BWT row
+    pos2uni: jnp.ndarray     # (L,) int32: position -> unitig (searchsorted)
     n_rows: int
     dollar_pos: int
     len_e_kmer: int
@@ -64,6 +78,9 @@ class DeviceIndex:
             uni_ref_list=self.uni_ref_list,
             rp_global_off=self.rp_global_off, rp_ref_id=self.rp_ref_id,
             ref_off=self.ref_off, ref_bin=self.ref_bin,
+            text_pk=self.text_pk, sep_any=self.sep_any,
+            sep_hash=self.sep_hash, samp_bits=self.samp_bits,
+            isa=self.isa, pos2uni=self.pos2uni,
             text_len=self.text_len, n_uni=self.n_uni, n_bases=self.n_bases)
 
     @classmethod
@@ -98,6 +115,39 @@ class DeviceIndex:
 
         q_mem, q_lv = mapq_tables(len(idx.ref_bin) * 4)
         assert n < (1 << 28), "lfc packing needs n_rows < 2^28 (shard larger indexes)"
+
+        # ---- position-space walk tables -------------------------------
+        # Every 31-mer occurs once in the unitig set, so row_pos is a
+        # bijection rows <-> text positions (full SA; asserted here).
+        # text[q] is the char each row's LF step would read:
+        # row_char[r] = text[(row_pos[r]-1) mod L].
+        L = int(idx.text_len)
+        assert L == n, "full-SA position tables need n_rows == text_len"
+        pos = idx.row_pos.astype(np.int64)
+        text = np.zeros(L, np.uint8)
+        text[(pos - 1) % L] = chars
+        isa = np.zeros(L, np.int32)
+        isa[pos] = np.arange(n, dtype=np.int32)
+
+        def bitmap32(mask):
+            W = (L + 31) // 32
+            m = np.zeros(W * 32, np.uint32)
+            m[:L] = mask
+            return (m.reshape(W, 32)
+                    << np.arange(32, dtype=np.uint32)[None, :]).sum(
+                        axis=1, dtype=np.uint32)
+
+        Wp = (L + 15) // 16
+        tp = np.zeros(Wp * 16, np.uint32)
+        tp[:L] = text & 3
+        text_pk = (tp.reshape(Wp, 16)
+                   << (np.arange(16, dtype=np.uint32) * 2)[None, :]).sum(
+                       axis=1, dtype=np.uint32)[None, :]
+        # pos -> unitig: count of unitig starts <= q (get_uni's searchsorted)
+        bounds = np.concatenate([
+            [0], idx.uni_start[1 : idx.n_uni + 1].astype(np.int64), [L]])
+        pos2uni = np.repeat(
+            np.arange(idx.n_uni + 1, dtype=np.int32), np.diff(bounds))
         return cls(
             fm_blocks=jnp.asarray(blocks),
             lf=jnp.asarray(lf.astype(np.uint32)),
@@ -120,6 +170,12 @@ class DeviceIndex:
             ref_bin=jnp.asarray(idx.ref_bin),
             q_mem=jnp.asarray(q_mem.astype(np.int32)),
             q_lv=jnp.asarray(q_lv.astype(np.int32)),
+            text_pk=jnp.asarray(text_pk),
+            sep_any=jnp.asarray(bitmap32(text >= 4)),
+            sep_hash=jnp.asarray(bitmap32(text == 4)),
+            samp_bits=jnp.asarray(bitmap32(isa % 8 == 0)),
+            isa=jnp.asarray(isa),
+            pos2uni=jnp.asarray(pos2uni),
             n_rows=n,
             dollar_pos=idx.dollar_pos,
             len_e_kmer=idx.len_e_kmer,

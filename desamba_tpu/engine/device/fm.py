@@ -1,27 +1,50 @@
 """Batched FM rank + backward MEM search on device.
 
 The reference's hottest scalar loop (occ: src/bwt.c:43-65, called twice per
-char per seed, SURVEY §3.4) becomes a lane-parallel `lax.while_loop`: each
-step performs two checkpointed-rank gathers for every active (read, probe)
-lane. The per-island SP_SET row dedup (src/cly.c:1281-1298) lives on device
-as a (lanes, 500) buffer carried through the loops.
+char per seed, SURVEY §3.4) becomes a lane-parallel `lax.while_loop` over
+the interval phase, and the per-row single walks (src/cly.c:1344-1383) —
+the dominant sequential cost, one dependent row gather per matched char —
+collapse to position-space packed LCEs over the unitig text (see
+textwalk.py): the full SA (row_pos) turns "LF-walk w rows" into "compare
+w chars starting at row_pos[row]-1", ~w/16 word gathers.
 
-Parity contract (tests/test_device_engine.py): for identical probe inputs and
-SP_SET state, `mem_probe` returns exactly the MemRst set of the gold
+The reference's SP_SET row dedup (src/cly.c:1281-1298) is kept bit-exact
+as a set of disjoint position intervals carried through the ladder loops.
+
+Parity contract (tests/test_device_engine.py): for identical probe inputs
+and SP_SET state, `mem_probe` returns exactly the MemRst set of the gold
 engine's bwt_mem_search (match lengths, final rows, SA samples, dedup
 aborts).
 """
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from ...constants import L_PRE_IDX, SP_SET_CAP
+from ...constants import L_PRE_IDX
 from .arrays import BLOCK
+from .textwalk import (
+    find_bit_low,
+    ivset_init,
+    ivset_walk,
+    lce_backward,
+)
 
 U32 = jnp.uint32
+I32 = jnp.int32
+
+
+class WalkRefs(NamedTuple):
+    """The subset of index arrays the position-space walk needs — any
+    object with these attributes works (IndexRefs qualifies)."""
+    row_pos: jnp.ndarray
+    text_pk: jnp.ndarray
+    sep_any: jnp.ndarray
+    samp_bits: jnp.ndarray
+    isa: jnp.ndarray
 
 
 def _rank_from_blocks(fm_blocks, r, c):
@@ -52,68 +75,23 @@ def _rank_from_blocks(fm_blocks, r, c):
     return base + jnp.sum(cnt, axis=1, dtype=U32)
 
 
-SP_HASH_CAP = 1024          # slots; holds <= SP_SET_CAP live entries
-SP_EMPTY = 0xFFFFFFFF       # rows are < 2^31, sentinel is safe
-
-
 def spset_init(n):
-    """Fresh per-lane SP_SET state: (table, count)."""
-    return (jnp.full((n, SP_HASH_CAP), SP_EMPTY, U32),
-            jnp.zeros((n,), jnp.int32))
-
-
-def _spset_insert(sets, counts, vals, do):
-    """SP_SET insert with 500-cap wrap reset (src/cly.c:1286-1298).
-
-    Exact set semantics as the reference's 500-entry linear array, but as
-    an open-addressed hash table: the linear scan cost 500 lanes of HBM
-    traffic per insert, dominating the ladder kernels. counts tracks
-    inserted entries, so the wrap-reset fires at the same insert as the
-    reference.
-
-    sets: (N, SP_HASH_CAP) uint32; counts: (N,); vals: (N,) uint32;
-    do: (N,) bool. Returns (sets, counts, ok) — ok False on duplicate.
-    """
-    N = counts.shape[0]
-    lanes = jnp.arange(N)
-    reset = do & (counts == SP_SET_CAP)
-    sets = jnp.where(reset[:, None], U32(SP_EMPTY), sets)
-    counts = jnp.where(reset, 0, counts)
-    h0 = (vals * U32(2654435761)) & U32(SP_HASH_CAP - 1)
-
-    def cond(st):
-        return st[3].any()
-
-    def body(st):
-        h, dup, slot, run = st
-        cur = sets[lanes, h.astype(jnp.int32)]
-        is_empty = cur == U32(SP_EMPTY)
-        is_dup = cur == vals
-        dup = dup | (run & is_dup)
-        slot = jnp.where(run & is_empty, h, slot)
-        run2 = run & ~(is_empty | is_dup)
-        h2 = jnp.where(run2, (h + U32(1)) & U32(SP_HASH_CAP - 1), h)
-        return h2, dup, slot, run2
-
-    st = (h0, jnp.zeros((N,), bool), jnp.zeros((N,), U32), do)
-    _, dup, slot, _ = jax.lax.while_loop(cond, body, st)
-    ins = do & ~dup
-    si = slot.astype(jnp.int32)
-    sets = sets.at[lanes, si].set(jnp.where(ins, vals, sets[lanes, si]))
-    counts = jnp.where(ins, counts + 1, counts)
-    return sets, counts, ~dup
+    """Fresh per-lane SP_SET state: (intervals, counts) — see
+    textwalk.ivset_init."""
+    return ivset_init(n)
 
 
 @functools.partial(jax.jit, static_argnames=("max_rst", "l_min_mth"))
-def mem_probe(fm_blocks, lfc, rank6, hash13, codes, str_idx, pre_v,
-              active, spset, spcount, max_rst: int, l_min_mth: int,
+def mem_probe(ixr, fm_blocks, rank6, hash13, codes, codes_pk, str_idx,
+              pre_v, active, spset, spcount, max_rst: int, l_min_mth: int,
               col_off=None, row_idx=None):
     """One backward MEM probe per lane (bwt_MEM_search, src/cly.c:1388-1447).
 
-    codes: (N, L) uint8 per-lane read codes (lane-aligned); str_idx: (N,)
-    index of the probe's last char; pre_v: (N,) 13-mer value; l_max_mth is
-    str_idx per the reference. col_off/row_idx (N,), if given, map lanes
-    onto a shared per-read F+R buffer via (row_idx, col_off + i).
+    codes: (N, L) uint8 per-lane read codes (lane-aligned); codes_pk:
+    textwalk 2-bit packing of codes; str_idx: (N,) index of the probe's
+    last char; pre_v: (N,) 13-mer value; l_max_mth is str_idx per the
+    reference. col_off/row_idx (N,), if given, map lanes onto a shared
+    per-read F+R buffer via (row_idx, col_off + i).
     Returns per-lane results for up to max_rst rows plus updated SP_SET
     state:
       res_len:   (N, R) int32 total match length (<l_min invalid; -1000ish
@@ -129,6 +107,7 @@ def mem_probe(fm_blocks, lfc, rank6, hash13, codes, str_idx, pre_v,
     if col_off is None:
         col_off = jnp.zeros((N,), jnp.int32)
     rows = lanes if row_idx is None else row_idx
+    n_text = ixr.isa.shape[0]
 
     # ---- interval phase ----------------------------------------------------
     sp = hash13[pre_v].astype(U32)
@@ -174,7 +153,7 @@ def mem_probe(fm_blocks, lfc, rank6, hash13, codes, str_idx, pre_v,
     n_rows = jnp.where(ok, (n_ep - n_sp).astype(jnp.int32), 0)
     n_rows = jnp.minimum(n_rows, max_rst)
 
-    # ---- per-row single walks (bwt_single_search) ---------------------------
+    # ---- per-row walks in position space (bwt_single_search) --------------
     R = max_rst
     res_len = jnp.zeros((N, R), jnp.int32)
     res_sp = jnp.zeros((N, R), U32)
@@ -182,64 +161,37 @@ def mem_probe(fm_blocks, lfc, rank6, hash13, codes, str_idx, pre_v,
     res_sa_ok = jnp.zeros((N, R), bool)
     res_sa_l = jnp.zeros((N, R), jnp.int32)
     res_valid = jnp.zeros((N, R), bool)
+    wmax = jnp.maximum(0, l_max - match_len)
 
     def row_body(k, carry):
         (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
-         spset, spcount) = carry
-        row = n_sp + k.astype(U32)
+         iv, cnt) = carry
+        row = (n_sp + k.astype(U32)).astype(I32)
         do = ok & (k < n_rows)
-        spset, spcount, ins_ok = _spset_insert(spset, spcount, row, do)
-        do_walk = do & ins_ok
-        # walk state
-        wsp = row
-        wlen = jnp.zeros((N,), jnp.int32)
-        sa = jnp.zeros((N,), U32)
-        sa_ok = jnp.zeros((N,), bool)
-        sa_l = jnp.zeros((N,), jnp.int32)
-        wstr = str_i
-        wmax = jnp.maximum(0, l_max - match_len)
-        dup_abort = jnp.zeros((N,), bool)
-        wrun = do_walk
-
-        def wbody(st):
-            wsp, wlen, sa, sa_ok, sa_l, wstr, dup_abort, wrun, spset, spcount = st
-            cap = wlen >= wmax
-            sampled = (wsp & U32(7)) == 0
-            live = wrun & ~cap
-            sa = jnp.where(live & sampled, wsp, sa)
-            sa_ok = jnp.where(live & sampled, True, sa_ok)
-            sa_l = jnp.where(live, jnp.where(sampled, 0, sa_l - 1), sa_l)
-            lfc_v = lfc[wsp.astype(jnp.int32)]
-            nsp = lfc_v >> 3
-            c = (lfc_v & U32(7)).astype(jnp.int32)
-            ci = jnp.clip(col_off + wstr, 0, L - 1)
-            rc = jnp.where(wstr >= 0, codes[rows, ci].astype(jnp.int32), -1)
-            match = live & (c == rc)
-            spset, spcount, ins_ok2 = _spset_insert(spset, spcount, nsp, match)
-            aborted = match & ~ins_ok2
-            dup_abort = dup_abort | aborted
-            step = match & ins_ok2
-            wsp = jnp.where(step, nsp, wsp)
-            wlen = jnp.where(step, wlen + 1, wlen)
-            wstr = jnp.where(step, wstr - 1, wstr)
-            wrun = step
-            return (wsp, wlen, sa, sa_ok, sa_l, wstr, dup_abort, wrun,
-                    spset, spcount)
-
-        st = (wsp, wlen, sa, sa_ok, sa_l, wstr, dup_abort, wrun, spset, spcount)
-        st = jax.lax.while_loop(lambda s: s[7].any(), wbody, st)
-        wsp, wlen, sa, sa_ok, sa_l, wstr, dup_abort, _, spset, spcount = st
-
-        total = jnp.where(dup_abort, -1000, wlen) + match_len + 1
+        p = ixr.row_pos[jnp.clip(row, 0, n_text - 1)]
+        nat = lce_backward(ixr.text_pk, ixr.sep_any, codes_pk, rows,
+                           col_off, str_i, p - 1, wmax, do)
+        iv, cnt, dup0, abort, wlen = ivset_walk(iv, cnt, p, nat, do)
+        do_walk = do & ~dup0
+        # rows sa-checked: t = 0..T (cap excludes the final row, a
+        # mismatch stop does not; dup abort stops at the matched row)
+        T = jnp.where(abort | (wlen < wmax), wlen, wmax - 1)
+        qs, found = find_bit_low(ixr.samp_bits, p - T, p,
+                                 do_walk & (T >= 0))
+        sa = jnp.where(found,
+                       ixr.isa[jnp.clip(qs, 0, n_text - 1)], 0).astype(U32)
+        sa_l = jnp.where(found, (p - qs) - T, -(T + 1))
+        end_row = ixr.isa[jnp.clip(p - wlen, 0, n_text - 1)].astype(U32)
+        total = jnp.where(abort, -1000, wlen) + match_len + 1
         valid = do_walk & (total >= l_min_mth)
-        res_len = res_len.at[:, k].set(total)
-        res_sp = res_sp.at[:, k].set(wsp)
-        res_sa = res_sa.at[:, k].set(sa)
-        res_sa_ok = res_sa_ok.at[:, k].set(sa_ok)
-        res_sa_l = res_sa_l.at[:, k].set(sa_l)
+        res_len = res_len.at[:, k].set(jnp.where(do_walk, total, 0))
+        res_sp = res_sp.at[:, k].set(jnp.where(do_walk, end_row, 0))
+        res_sa = res_sa.at[:, k].set(jnp.where(do_walk & found, sa, 0))
+        res_sa_ok = res_sa_ok.at[:, k].set(do_walk & found)
+        res_sa_l = res_sa_l.at[:, k].set(jnp.where(do_walk, sa_l, 0))
         res_valid = res_valid.at[:, k].set(valid)
         return (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
-                spset, spcount)
+                iv, cnt)
 
     carry = (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
              spset, spcount)

@@ -24,6 +24,7 @@ from ...constants import (
 )
 from . import fm as dev_fm
 from .mapseed import A_NF, IndexRefs, map_seed_lanes
+from .textwalk import pack2
 
 I32 = jnp.int32
 
@@ -91,6 +92,7 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
         bl = max(64, N // 4)
     bl = min(bl, N)
     min_index = MIN_MEM_LEN_FAST - l_ek
+    codes_pk = pack2(codes_fr)
 
     anchors = jnp.zeros((N, a_cap, A_NF), I32)
     a_cnt = jnp.zeros((N,), I32)
@@ -120,7 +122,7 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
                          jnp.clip(base_c + ki, 0, pre13_fr.shape[1] - 1)]
         pre_v = pre_v & jnp.int32(PRE_IDX_MASK)
         out = dev_fm.mem_probe.__wrapped__(
-            fm_blocks, ixr.lfc, rank6, hash13, codes_fr,
+            ixr, fm_blocks, rank6, hash13, codes_fr, codes_pk,
             str_idx, pre_v, act_c, sps_c, spc_c,
             MEM_SEARCH_FAST, MIN_MEM_LEN_FAST - 1, col_off=base_c,
             row_idx=ridx_c)
@@ -184,6 +186,7 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
     bl = min(bl, N)
     lanes_c = jnp.arange(bl, dtype=I32)
     min_match_len = min(MIN_MEM_LEN_SLOW - 1, l_ek + 1)
+    codes_pk = pack2(codes_fr)
 
     spset, spcount = dev_fm.spset_init(N)
     mems = jnp.zeros((N, m_cap, M_NF), I32)
@@ -212,7 +215,7 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
                          jnp.clip(base_c + ki, 0, pre13_fr.shape[1] - 1)]
         pre_v = pre_v & jnp.int32(PRE_IDX_MASK)
         out = dev_fm.mem_probe.__wrapped__(
-            fm_blocks, ixr.lfc, rank6, hash13, codes_fr,
+            ixr, fm_blocks, rank6, hash13, codes_fr, codes_pk,
             str_idx, pre_v, act_c, sps_c, spc_c,
             MEM_SEARCH_SLOW, min_match_len, col_off=base_c, row_idx=ridx_c)
         (r_len, r_sp, r_sa, r_sa_ok, r_sa_l, r_valid, sps_c, spc_c) = out

@@ -25,6 +25,7 @@ from ...constants import (
     SA_MASK,
 )
 from .lv import lv_batch
+from .textwalk import collect_backward, find_bit_high
 
 GARBAGE = 200
 I32 = jnp.int32
@@ -57,12 +58,19 @@ class IndexRefs(NamedTuple):
     rp_ref_id: jnp.ndarray     # (n_occ,) int32
     ref_off: jnp.ndarray       # (n_ref,) int32
     ref_bin: jnp.ndarray       # packed 2-bit reference, uint8
+    # position-space walk tables (see arrays.DeviceIndex)
+    text_pk: jnp.ndarray       # (1, ceil(L/16)) uint32 packed 2-bit text
+    sep_any: jnp.ndarray       # (ceil(L/32),) uint32 bitmap: text >= 4
+    sep_hash: jnp.ndarray      # (ceil(L/32),) uint32 bitmap: text == '#'
+    samp_bits: jnp.ndarray     # (ceil(L/32),) uint32 bitmap: isa % 8 == 0
+    isa: jnp.ndarray           # (L,) int32 text position -> row
+    pos2uni: jnp.ndarray       # (L,) int32 position -> unitig
     text_len: int
     n_uni: int
     n_bases: int               # len(ref_bin) * 4
 
 
-_N_ARRAYS = 11
+_N_ARRAYS = 17
 
 
 def _ixr_flatten(ix):
@@ -145,30 +153,31 @@ def _leading_matches(t, q, limit):
 
 
 def get_uni(ix: IndexRefs, row, search_l, active):
-    """gold Locator.get_uni: (row, search_l) -> (uni, uni_offset, g_off)."""
+    """gold Locator.get_uni: (row, search_l) -> (uni, uni_offset, g_off).
+
+    The reference advances unitig by unitig until the target offset fits
+    (src/cly.c:471-496, ~one gather per crossed unitig); with the direct
+    pos2uni table the crossing collapses to one gather at the target
+    text position. A target landing exactly on a '#' separator matches
+    the loop's quirk: it belongs to the NEXT unitig at offset -1."""
     row = row.astype(I32)
-    p1 = (ix.row_pos[row] - 1) % ix.text_len
-    u = jnp.searchsorted(ix.uni_start[1 : ix.n_uni + 1], p1, side="right")
-    u = u.astype(I32)
-    off = p1 - ix.uni_start[u]
-    uoff = off + search_l + 1
-
-    def cond(st):
-        u, uoff, act = st
-        return (act & (uoff >= ix.uni_len[jnp.minimum(u, ix.n_uni)])).any()
-
-    def body(st):
-        u, uoff, act = st
-        go = act & (uoff >= ix.uni_len[jnp.minimum(u, ix.n_uni)])
-        uoff = jnp.where(go, uoff - ix.uni_len[jnp.minimum(u, ix.n_uni)] - 1, uoff)
-        u = jnp.where(go, u + 1, u)
-        return u, uoff, act
-
-    walk_act = active & (search_l > 0)
-    u, uoff, _ = jax.lax.while_loop(cond, body, (u, uoff, walk_act))
-    # search_l <= 0 and uoff < 0: uint32 wrap (gold's unreachable-in-C path)
-    wrap = active & (search_l <= 0) & (uoff < 0)
-    uoff = jnp.where(wrap, uoff.astype(U32).astype(I32), uoff)
+    L = ix.text_len
+    p1 = (ix.row_pos[row] - 1) % L
+    q = p1 + search_l + 1
+    walked = active & (search_l > 0)
+    u_w = ix.pos2uni[jnp.clip(q, 0, L - 1)]
+    uoff_w = q - ix.uni_start[u_w]
+    bump = uoff_w == ix.uni_len[u_w]
+    u_w = jnp.where(bump, u_w + 1, u_w)
+    uoff_w = jnp.where(bump, -1, uoff_w)
+    # search_l <= 0: no advancement; uoff < 0 takes the uint32 wrap
+    # (gold's unreachable-in-C path)
+    u0 = ix.pos2uni[p1]
+    uoff0 = p1 - ix.uni_start[u0] + search_l + 1
+    wrap = active & (search_l <= 0) & (uoff0 < 0)
+    uoff0 = jnp.where(wrap, uoff0.astype(U32).astype(I32), uoff0)
+    u = jnp.where(walked, u_w, u0)
+    uoff = jnp.where(walked, uoff_w, uoff0)
     g = ix.rp_global_off[ix.uni_ref_list[u]] + uoff
     return u, uoff, g
 
@@ -248,36 +257,34 @@ def map_seed_lanes(ix: IndexRefs, codes_fr, buf_len, q_mem, q_lv,
     l_pre0 = jnp.minimum(q_off + 1, LV_L)
     q_pre = qslice13(codes_fr, buf_len, ridx, base + q_off, -1)
 
-    # LF pre-walk for lanes without an SA sample (collect <= 12 chars)
+    # pre-walk for lanes without an SA sample (collect <= 12 chars):
+    # position space — the chars the LF walk would read are
+    # text[p0-1], text[p0-2], ...; the walk stops at the first sampled
+    # row (samp_bits), the first '#' char (sep_hash; the '#' step does
+    # not advance), or the l_pre cap (which the reference overshoots to
+    # 1 when l_pre == 0 — the check runs after the first step).
     need_walk = active & ~sa_ok
     b_p = sp_row.astype(I32)
-    s_l = jnp.zeros((N,), I32)
-    walk_chars = jnp.zeros((N, LV_L + 1), jnp.uint8)
     hash_hit = (b_p & SA_MASK) == 0
-
-    def wcond(st):
-        return st[4].any()
-
-    def wbody(st):
-        b_p, s_l, wch, _hit, run = st
-        lfc = ix.lfc[b_p]
-        c = (lfc & jnp.uint32(7)).astype(I32)
-        is_sep = c == 4
-        new_bp = (lfc >> 3).astype(I32)
-        step = run & ~is_sep
-        wch = jnp.where(
-            (jnp.arange(LV_L + 1)[None, :] == s_l[:, None]) & step[:, None],
-            c.astype(jnp.uint8)[:, None], wch)
-        s_l2 = jnp.where(step, s_l + 1, s_l)
-        b_p2 = jnp.where(step, new_bp, b_p)
-        sampled = (b_p2 & SA_MASK) == 0
-        cont = step & ~sampled & (s_l2 < l_pre0)
-        return b_p2, s_l2, wch, sampled, cont
-
-    init_run = need_walk & ~hash_hit
-    st = (b_p, s_l, walk_chars, hash_hit, init_run)
-    b_p, s_l, walk_chars, _, _ = jax.lax.while_loop(wcond, wbody, st)
-    walk_sampled = (b_p & SA_MASK) == 0
+    L_t = ix.isa.shape[0]
+    p0 = ix.row_pos[jnp.clip(b_p, 0, L_t - 1)]
+    do_pre = need_walk & ~hash_hit
+    cap_pre = jnp.maximum(l_pre0, 1)
+    qs_pre, fs_pre = find_bit_high(ix.samp_bits, p0 - cap_pre, p0 - 1,
+                                   do_pre)
+    k_samp = jnp.where(fs_pre, p0 - qs_pre, 1 << 30)
+    qh_pre, fh_pre = find_bit_high(ix.sep_hash, p0 - cap_pre, p0 - 1,
+                                   do_pre)
+    t_hash = jnp.where(fh_pre, p0 - qh_pre, 1 << 30)
+    s_l = jnp.where(do_pre,
+                    jnp.minimum(jnp.minimum(cap_pre, k_samp), t_hash - 1),
+                    0)
+    wch = collect_backward(ix.text_pk, ix.sep_any, p0 - 1, LV_L + 1)
+    walk_chars = jnp.where(
+        do_pre[:, None] & (jnp.arange(LV_L + 1)[None, :] < s_l[:, None]),
+        wch, jnp.uint8(0))
+    b_p = jnp.where(do_pre, ix.isa[jnp.clip(p0 - s_l, 0, L_t - 1)], b_p)
+    walk_sampled = hash_hit | (fs_pre & (s_l == k_samp))
 
     # locate: sampled lanes (either from sa or from the walk)
     loc_row = jnp.where(sa_ok, sa_row.astype(I32), b_p)
@@ -300,21 +307,20 @@ def map_seed_lanes(ix: IndexRefs, codes_fr, buf_len, q_mem, q_lv,
     dead = dead | early1
 
     # ---- step 2: continue LF walk to a sample for uni-less lanes ----------
+    # position space: nearest sampled position strictly below the current
+    # one (LF wraps cyclically past position 0 — samples are 1/8 dense so
+    # the wrap search is one word scan in the rare case it happens)
     need_walk2 = active & ~dead & ~have_uni1
-
-    def w2cond(st):
-        return st[2].any()
-
-    def w2body(st):
-        b_p, s_l, run = st
-        new_bp = (ix.lfc[b_p] >> 3).astype(I32)
-        b_p2 = jnp.where(run, new_bp, b_p)
-        s_l2 = jnp.where(run, s_l + 1, s_l)
-        cont = run & ((b_p2 & SA_MASK) != 0)
-        return b_p2, s_l2, cont
-
-    b_p, s_l, _ = jax.lax.while_loop(
-        w2cond, w2body, (b_p, s_l, need_walk2 & ((b_p & SA_MASK) != 0)))
+    p2 = p0 - s_l
+    zero = jnp.zeros((N,), I32)
+    q2, f2 = find_bit_high(ix.samp_bits, zero, p2 - 1, need_walk2)
+    q2w, f2w = find_bit_high(ix.samp_bits, p2, zero + L_t - 1,
+                             need_walk2 & ~f2)
+    steps2 = jnp.where(f2, p2 - q2, p2 + (L_t - q2w))
+    qf = jnp.where(f2, q2, q2w)
+    b_p = jnp.where(need_walk2,
+                    ix.isa[jnp.clip(qf, 0, L_t - 1)], b_p)
+    s_l = jnp.where(need_walk2, s_l + steps2, s_l)
     uni2, u_off2, t_off2 = get_uni(ix, b_p, s_l, need_walk2)
     uni = jnp.where(need_walk2, uni2, uni)
     u_off = jnp.where(need_walk2, u_off2, u_off)

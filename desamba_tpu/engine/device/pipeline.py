@@ -24,6 +24,7 @@ from ...constants import (
 )
 from . import fm as dev_fm
 from .islands import ekmer_probe_indices
+from .textwalk import pack2
 
 
 @functools.partial(jax.jit, static_argnames=("l_ek",))
@@ -45,13 +46,16 @@ def pre13_values(codes, l_ek: int):
 
 def index_args(dix):
     """The positional index-array arguments of seed_wave_step."""
-    return (dix.fm_blocks, dix.lfc, dix.rank, dix.hash13,
+    walk = dev_fm.WalkRefs(row_pos=dix.row_pos, text_pk=dix.text_pk,
+                           sep_any=dix.sep_any, samp_bits=dix.samp_bits,
+                           isa=dix.isa)
+    return (walk, dix.fm_blocks, dix.rank, dix.hash13,
             dix.ekmer0, dix.ekmer1)
 
 
 @functools.partial(
     jax.jit, static_argnames=("l_ek", "single_base_max", "mask_bits", "n_probes"))
-def seed_wave_step(fm_blocks, lfc, rank6, hash13, ek0, ek1,
+def seed_wave_step(walk, fm_blocks, rank6, hash13, ek0, ek1,
                    codes, lengths, *, l_ek: int, single_base_max: int,
                    mask_bits: int, n_probes: int = 8):
     """(codes, lengths) -> (hit_count, mem_len, mem_valid).
@@ -80,12 +84,13 @@ def seed_wave_step(fm_blocks, lfc, rank6, hash13, ek0, ek1,
     pre = pre13_values(codes, l_ek)
 
     spset, spcount = dev_fm.spset_init(B)
+    codes_pk = pack2(codes)
     lens, valids = [], []
     for k in range(n_probes):
         ki = p_idx[:, k]
         out = dev_fm.mem_probe.__wrapped__(
-            fm_blocks, lfc, rank6, hash13,
-            codes, ki + l_ek - 1,
+            walk, fm_blocks, rank6, hash13,
+            codes, codes_pk, ki + l_ek - 1,
             jnp.take_along_axis(pre, ki[:, None], 1)[:, 0],
             p_ok[:, k], spset, spcount,
             MEM_SEARCH_FAST, MIN_MEM_LEN_FAST - 1)

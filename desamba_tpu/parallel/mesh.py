@@ -33,6 +33,7 @@ from ..constants import (
 )
 from ..engine.device import fm as dev_fm
 from ..engine.device.islands import ekmer_probe_indices
+from ..engine.device.textwalk import pack2
 
 
 def make_mesh(n_dp: int, n_idx: int = 1, devices=None) -> Mesh:
@@ -60,6 +61,10 @@ def shard_index(mesh: Mesh, dix):
         "hash13": jax.device_put(dix.hash13, repl),
         "ekmer0": jax.device_put(dix.ekmer0, shard0),
         "ekmer1": jax.device_put(dix.ekmer1, shard0),
+        "walk": jax.device_put(
+            dev_fm.WalkRefs(row_pos=dix.row_pos, text_pk=dix.text_pk,
+                            sep_any=dix.sep_any, samp_bits=dix.samp_bits,
+                            isa=dix.isa), repl),
     }
     return placed
 
@@ -77,7 +82,7 @@ def sharded_seed_step(mesh: Mesh, placed, l_ek: int, single_base_max: int,
     table_len = placed["ekmer0"].shape[0]
     shard_len = table_len // n_idx
 
-    def step(fm_blocks, lfc, rank6, hash13, ek0, ek1, codes, lengths):
+    def step(walk, fm_blocks, lfc, rank6, hash13, ek0, ek1, codes, lengths):
         b1, s1, b2, s2, valid = ekmer_probe_indices(
             codes, lengths, l_ek, single_base_max, mask_bits)
         me = jax.lax.axis_index("idx") * shard_len
@@ -122,10 +127,11 @@ def sharded_seed_step(mesh: Mesh, placed, l_ek: int, single_base_max: int,
         mem_lens = []
         mem_valids = []
         spset, spcount = dev_fm.spset_init(B)
+        codes_pk = pack2(codes)
         for k in range(n_probes):
             ki = p_idx[:, k]
             out = dev_fm.mem_probe.__wrapped__(
-                fm_blocks, lfc, rank6, hash13, codes,
+                walk, fm_blocks, rank6, hash13, codes, codes_pk,
                 ki + l_ek - 1, jnp.take_along_axis(pre, ki[:, None], 1)[:, 0],
                 p_ok[:, k], spset, spcount,
                 MEM_SEARCH_FAST, MIN_MEM_LEN_FAST - 1)
@@ -138,7 +144,8 @@ def sharded_seed_step(mesh: Mesh, placed, l_ek: int, single_base_max: int,
 
     from jax.experimental.shard_map import shard_map
 
-    spec_in = (P(), P(), P(), P(), P("idx"), P("idx"), P("dp"), P("dp"))
+    spec_in = (P(), P(), P(), P(), P(), P("idx"), P("idx"), P("dp"),
+               P("dp"))
     spec_out = (P("dp"), P("dp"), P("dp"))
     sm = jax.jit(shard_map(step, mesh=mesh, in_specs=spec_in,
                            out_specs=spec_out, check_rep=False))
@@ -146,7 +153,7 @@ def sharded_seed_step(mesh: Mesh, placed, l_ek: int, single_base_max: int,
     def run(codes, lengths):
         # placed arrays are runtime args of the jitted shard_map (passing
         # them via closure would embed them as HLO constants)
-        return sm(placed["fm_blocks"], placed["lfc"],
+        return sm(placed["walk"], placed["fm_blocks"], placed["lfc"],
                   placed["rank"], placed["hash13"], placed["ekmer0"],
                   placed["ekmer1"], codes, lengths)
 

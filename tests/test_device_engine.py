@@ -246,6 +246,10 @@ def test_mem_probe_parity(device_setup):
     for i, (r, _, _) in enumerate(lanes):
         codes[i, : len(r)] = r
     codes_d = jnp.asarray(codes)
+    from desamba_tpu.engine.device.textwalk import pack2
+    codes_pk = pack2(codes_d)
+    ixr = dix.index_refs()
+    isa_h = np.asarray(dix.isa)
     min_index = MIN_MEM_LEN_FAST - l_ek
     j_state = np.array([s[1] - 1 for _, _, s in lanes])
     gold_sets = [SpSet() for _ in range(N)]
@@ -267,8 +271,8 @@ def test_mem_probe_parity(device_setup):
             pre_v[i] = int(km[ki]) & PRE_IDX_MASK
             str_idx[i] = ki + l_ek - 1
             act[i] = True
-        out = mem_probe(dix.fm_blocks, dix.lfc, dix.rank,
-                        dix.hash13, codes_d, jnp.asarray(str_idx),
+        out = mem_probe(ixr, dix.fm_blocks, dix.rank,
+                        dix.hash13, codes_d, codes_pk, jnp.asarray(str_idx),
                         jnp.asarray(pre_v), jnp.asarray(act), spset, spcount,
                         MEM_SEARCH_FAST, MIN_MEM_LEN_FAST - 1)
         (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
@@ -290,7 +294,12 @@ def test_mem_probe_parity(device_setup):
             exp = [(r.match_len, r.sp, r.sa_sp, r.sa_sp_l) for r in m_r]
             assert got == exp, f"lane {i} j {j_state[i]}"
             gold_rows = {x & 0xFFFFFFFF for x in gold_sets[i].contents()}
-            dev_rows = {int(x) for x in spset_h[i] if x != 0xFFFFFFFF}
+            # device set = disjoint position intervals; expand + map to
+            # rows via the inverse SA
+            dev_rows = set()
+            for s_lo, s_hi in spset_h[i][: int(spcount_h[i, 0])]:
+                dev_rows.update(
+                    int(r) for r in isa_h[int(s_lo) : int(s_hi) + 1])
             assert gold_rows == dev_rows, f"spset lane {i}"
             j_state[i] -= 2 if not m_r else 3
     assert nprobes > 30
