@@ -1,17 +1,20 @@
 """DeviceClassifier: batched classify with a device-resident pipeline.
 
-Stage split (v2):
+Stage split (v3):
   device — existence-filter probe, fast/slow ladders, M2 chaining,
            9-mer SDP rescore. Anchor rows and chain records stay in HBM
            between stages; the host sees only small per-lane vectors
            (counts/flags/decision scalars) until the final rescored
            chain rows come back.
-  host   — island segmentation, gather-map construction, run_slow
-           decisions, merge/filter/primary (post_rescore_finish), SAM.
-The host stages run per read in input order so stream state
-(max_read_l) and output order match the reference exactly. Reads whose
-device buffers overflow (or that hit the M3 >=50-anchor chain path,
-src/cly.c:238-323) fall back to the gold engine wholesale.
+  host   — island segmentation (native C batch call), lane/gather-map
+           construction as vectorized numpy over flat seed arrays (the
+           round-2 engine built per-read python lists here — the cost
+           scaled with reads and dominated saturation batches),
+           run_slow decisions, merge/filter/primary, SAM.
+Host stages preserve input order so stream state (max_read_l) and
+output order match the reference exactly. Reads whose device buffers
+overflow (or that hit the M3 >=50-anchor chain path, src/cly.c:238-323)
+fall back to the gold engine wholesale.
 """
 from __future__ import annotations
 
@@ -27,7 +30,7 @@ from ...constants import (FORWARD, MIN_READ_LEN, REVERSE,
 from ...index.kmers import CLY_BIT
 from ...io import native
 from ..gold.classify import ClassifyEngine, Options, ReadResult, StreamState
-from ..gold.islands import SearchDir, mark_top
+from ..gold.islands import mark_top
 from ..gold.chain import Chain
 from ..gold.rescore import detect_primary, post_rescore_finish
 from .arrays import DeviceIndex
@@ -49,6 +52,16 @@ def _bucket(n: int, lo: int = 256) -> int:
     return b
 
 
+def _csr_expand(offs, cnts):
+    """Concatenate ranges [offs[i], offs[i]+cnts[i]) as one index array."""
+    total = int(cnts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(cnts)[:-1]]), cnts)
+    return np.repeat(np.asarray(offs, np.int64), cnts) + within
+
+
 def _enable_compile_cache():
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -68,6 +81,22 @@ def _bloom_packed(strands, lens, ek0, ek1, l_ek, single_base_max, mask_bits):
     return jnp.packbits(hitp, axis=1)
 
 
+class LaneSet:
+    """Flat per-lane arrays, ordered by (read row, part, seed id)."""
+
+    __slots__ = ("ridx", "base", "rl", "dir", "sid", "soff", "slen", "n")
+
+    def __init__(self, ridx, base, rl, dirs, sid, soff, slen):
+        self.ridx = ridx
+        self.base = base
+        self.rl = rl
+        self.dir = dirs
+        self.sid = sid
+        self.soff = soff
+        self.slen = slen
+        self.n = len(ridx)
+
+
 class DeviceClassifier:
     def __init__(self, idx, opts: Options | None = None, batch_size: int = 2048):
         _enable_compile_cache()
@@ -78,21 +107,29 @@ class DeviceClassifier:
         self.gold = ClassifyEngine(idx, self.opts)  # fallback + host tables
         self.state = StreamState()
         self.batch_size = batch_size
+        self.n_fallback = 0     # reads rescued by the gold oracle
+        self.n_classified = 0
+
+    def fallback_stats(self):
+        return {"fallback_reads": self.n_fallback,
+                "total_reads": self.n_classified}
 
     # ---- island stage ------------------------------------------------------
     def _islands(self, seqs):
-        """Gold get_islands per read with the existence probe batched on
-        device (one bloom_hit_kernel dispatch for all strands). Returns
-        list of (dirs, both)."""
+        """Existence probe (device, batched) + island segmentation
+        (native C batch call). Returns (bufs, seeds, s_off, s_cnt,
+        totals): seeds (n, 3) int32 rows (offset, len, top) concatenated
+        per strand; strand 2i = forward, 2i+1 = reverse of read i."""
         idx = self.idx
         l_ek = idx.len_e_kmer
         bufs = []
         for seq in seqs:
             bin_f = CLY_BIT[np.frombuffer(seq.encode(), np.uint8)]
             bufs.append(np.concatenate([bin_f, (3 - bin_f)[::-1]]))
-        if not bufs:
-            return []
-        B = len(bufs)
+        B = len(seqs)
+        if not B:
+            z = np.zeros(0, np.int64)
+            return bufs, np.zeros((0, 3), np.int32), z, z, z
         # bucket strands by read length: padding to the batch max cost
         # ~2.6x probe work on mixed-length corpora (probe gathers scale
         # with padded area). Pow-2 width buckets keep jit shapes reused.
@@ -131,45 +168,32 @@ class DeviceClassifier:
                 hits[2 * i, :nk] = got[2 * k, :nk]
                 hits[2 * i + 1, :nk] = got[2 * k + 1, :nk]
 
-        seg = None
+        n_k_a = np.zeros((2 * B,), np.int32)
+        dirs_a = np.zeros((2 * B,), np.int32)
+        n_k_a[0::2] = n_k_a[1::2] = [len(s) - l_ek + 1 for s in seqs]
+        dirs_a[0::2] = FORWARD
+        dirs_a[1::2] = REVERSE
         if native.available():
             # one C call segments + top-marks every strand (the serial
             # phase-chained walk was the last per-read host hot loop)
-            n_k_a = np.zeros((2 * B,), np.int32)
-            dirs_a = np.zeros((2 * B,), np.int32)
-            for i, seq in enumerate(seqs):
-                n_k_a[2 * i] = n_k_a[2 * i + 1] = len(seq) - l_ek + 1
-                dirs_a[2 * i] = FORWARD
-                dirs_a[2 * i + 1] = REVERSE
-            seg = native.islands_batch(hits.view(np.uint8), n_k_a, dirs_a,
-                                       STEP_EK, SEED_RANGE)
-
-        out = []
-        for i, (seq, buf) in enumerate(zip(seqs, bufs)):
-            read_len = len(seq)
-            n_kmers = read_len - l_ek + 1
-            dirs = []
-            for si, (base, direction) in enumerate(
-                    ((0, FORWARD), (read_len, REVERSE))):
-                bin_read = buf[base : base + read_len]
-                hit = hits[2 * i + si, :n_kmers]
-                if seg is not None:
-                    rows_s, offs, counts, totals = seg
-                    o = int(offs[2 * i + si])
-                    seeds = rows_s[o : o + int(counts[2 * i + si])]
-                    total = int(totals[2 * i + si])
-                else:
-                    # run-based walk == gold search_islands (tested parity)
-                    seeds = segment_islands(hit, n_kmers, direction)
-                    total = mark_top(seeds, n_kmers, direction)
-                dirs.append(SearchDir(seeds, bin_read, hit, direction, total,
-                                      buf, base))
-            if dirs[0].total_score < dirs[1].total_score:
-                dirs = [dirs[1], dirs[0]]
-            both = (dirs[0].total_score - dirs[1].total_score) <= (
-                dirs[0].total_score >> 3)
-            out.append((dirs, both))
-        return out
+            seeds, s_off, s_cnt, totals = native.islands_batch(
+                hits.view(np.uint8), n_k_a, dirs_a, STEP_EK, SEED_RANGE)
+            return bufs, seeds, s_off, s_cnt, totals
+        # python fallback: run-based walk == gold search_islands
+        rows, offs, cnts, tots = [], [], [], []
+        at = 0
+        for s in range(2 * B):
+            nk = int(n_k_a[s])
+            sl = segment_islands(hits[s, :nk], nk, int(dirs_a[s]))
+            tots.append(mark_top(sl, nk, int(dirs_a[s])))
+            offs.append(at)
+            cnts.append(len(sl))
+            at += len(sl)
+            rows.extend(sl)
+        seeds = (np.array(rows, np.int32).reshape(-1, 3)
+                 if rows else np.zeros((0, 3), np.int32))
+        return (bufs, seeds, np.array(offs, np.int64),
+                np.array(cnts, np.int64), np.array(tots, np.int64))
 
     # ---- ladder helpers ----------------------------------------------------
     # Island-length partition thresholds: ladder trip counts follow the
@@ -177,37 +201,33 @@ class DeviceClassifier:
     # (p50=5, max 61) — grouping by length cuts lockstep waste ~4x.
     _LEN_SPLITS = (7, 17, 1 << 30)
 
-    def _run_ladder(self, kind, lanes, codes_fr, buf_len, pre13, read_lens):
-        if not lanes:
+    def _run_ladder(self, kind, ls: LaneSet, codes_fr, buf_len, pre13):
+        if ls.n == 0:
             return None
-        n = len(lanes)
-        order = sorted(range(n), key=lambda j: lanes[j][5])
+        order = np.argsort(ls.slen, kind="stable")
+        slen_o = ls.slen[order]
+        bounds = np.searchsorted(slen_o, np.array(self._LEN_SPLITS), "right")
         groups = []
         start = 0
-        for thr in self._LEN_SPLITS:
-            g = []
-            while start + len(g) < n and lanes[order[start + len(g)]][5] <= thr:
-                g.append(order[start + len(g)])
-            if g:
-                groups.append(g)
-            start += len(g)
+        for b in bounds:
+            if b > start:
+                groups.append(order[start:b])
+            start = b
+        base_all = np.zeros((ls.n,), np.int64)
+        acnt_all = np.zeros((ls.n,), np.int32)
+        skip_all = np.zeros((ls.n,), bool)
         packed_all = []
-        base_all = np.zeros((n,), np.int64)
-        acnt_all = np.zeros((n,), np.int32)
-        skip_all = np.zeros((n,), bool)
         ovf = False
         offset = 0
         # dispatch every length group before draining any (async jax
         # dispatch overlaps the groups' device compute)
-        outs = [self._dispatch_ladder_group(kind, [lanes[j] for j in g],
-                                            codes_fr, buf_len, pre13,
-                                            read_lens) for g in groups]
+        outs = [self._dispatch_ladder_group(kind, ls, g, codes_fr, buf_len,
+                                            pre13) for g in groups]
         for g, out in zip(groups, outs):
             packed, base, acnt, skip, povf = self._drain_ladder_group(out)
-            for k, j in enumerate(g):
-                base_all[j] = offset + int(base[k])
-                acnt_all[j] = acnt[k]
-                skip_all[j] = bool(skip[k])
+            base_all[g] = offset + base[: len(g)]
+            acnt_all[g] = acnt[: len(g)]
+            skip_all[g] = skip[: len(g)]
             packed_all.append(packed)
             offset += packed.shape[0]
             ovf = ovf or bool(np.any(povf))
@@ -215,21 +235,24 @@ class DeviceClassifier:
                       else jnp.concatenate(packed_all, axis=0))
         return [packed_dev, base_all, acnt_all, skip_all, ovf]
 
-    def _dispatch_ladder_group(self, kind, lanes, codes_fr, buf_len, pre13,
-                               read_lens):
-        N = len(lanes)
+    def _dispatch_ladder_group(self, kind, ls: LaneSet, g, codes_fr,
+                               buf_len, pre13):
+        N = len(g)
         NB = _bucket(N)
-        cols = np.zeros((6, NB), np.int32)
-        for j, l in enumerate(lanes):
-            cols[:, j] = l
-        rlv = np.zeros((NB,), np.int32)
-        rlv[:N] = [read_lens[l[0]] for l in lanes]
+        cols = np.zeros((7, NB), np.int32)
+        cols[0, :N] = ls.ridx[g]
+        cols[1, :N] = ls.base[g]
+        cols[2, :N] = ls.rl[g]
+        cols[3, :N] = ls.dir[g]
+        cols[4, :N] = ls.sid[g]
+        cols[5, :N] = ls.soff[g]
+        cols[6, :N] = ls.slen[g]
         on = np.zeros((NB,), bool)
         on[:N] = True
         lane_args = (jnp.asarray(cols[0]), jnp.asarray(cols[1]),
-                     jnp.asarray(rlv), jnp.asarray(cols[2]),
-                     jnp.asarray(cols[3]), jnp.asarray(cols[4]),
-                     jnp.asarray(cols[5]), jnp.asarray(on))
+                     jnp.asarray(cols[2]), jnp.asarray(cols[3]),
+                     jnp.asarray(cols[4]), jnp.asarray(cols[5]),
+                     jnp.asarray(cols[6]), jnp.asarray(on))
         return self._k_ladder(kind, codes_fr, buf_len, pre13, lane_args, NB), NB
 
     def _drain_ladder_group(self, out_nb):
@@ -241,11 +264,6 @@ class DeviceClassifier:
         base, acnt, skip, povf = rest
         base = self._globalize_base(base, NB)
         return [packed, base, acnt, skip, povf]
-
-    def _run_ladder_group(self, kind, lanes, codes_fr, buf_len, pre13,
-                          read_lens):
-        return self._drain_ladder_group(self._dispatch_ladder_group(
-            kind, lanes, codes_fr, buf_len, pre13, read_lens))
 
     # ---- kernel indirection (overridden by parallel.MeshClassifier) ------
     def _k_bloom(self, strands, lens):
@@ -283,13 +301,60 @@ class DeviceClassifier:
             n_bases=dix.n_bases, bf=max(64, B_pad // 13 // 32 * 32),
             bp=max(64, B_pad // 10 // 32 * 32), pp=8)
 
-    def _run_fast(self, lanes, codes_fr, buf_len, pre13, read_lens):
-        return self._run_ladder("fast", lanes, codes_fr, buf_len, pre13,
-                                read_lens)
+    # ---- gather-map construction (vectorized) -----------------------------
+    @staticmethod
+    def _keep_with_skip(lane_read, flag):
+        """The reference's skip_next rule (src/cly.c:1494-1534 via the
+        ladder's >512 flag): a lane is dropped when the previous kept
+        lane of the same read carried the flag. Within a maximal run of
+        flagged lanes inclusion alternates, so keep = (distance to the
+        last non-flagged-predecessor anchor) is even."""
+        n = len(lane_read)
+        if n == 0:
+            return np.zeros(0, bool)
+        h = np.zeros(n, bool)
+        h[1:] = flag[:-1] & (lane_read[1:] == lane_read[:-1])
+        idxs = np.arange(n)
+        last_anchor = np.maximum.accumulate(np.where(~h, idxs, -1))
+        return ((idxs - last_anchor) % 2) == 0
 
-    def _run_slow(self, lanes, codes_fr, buf_len, pre13, read_lens):
-        return self._run_ladder("slow", lanes, codes_fr, buf_len, pre13,
-                                read_lens)
+    def _build_gidx(self, B_pad, A2, lane_read, base, cnt, flag,
+                    apply_skip, fallback_rows):
+        """Per-read packed-row id lists -> (gidx, nanc); flags reads
+        whose rows exceed A2 or whose lanes overflowed in
+        fallback_rows (bool (B_pad,), mutated). Only the small
+        base/cnt/flag vectors are touched — anchor rows stay on device."""
+        gidx = np.full((B_pad, A2), -1, np.int32)
+        nanc = np.zeros((B_pad,), np.int32)
+        if len(lane_read) == 0:
+            return gidx, nanc
+        if apply_skip:
+            keep = self._keep_with_skip(lane_read, flag)
+            bad = keep & (cnt > A_CAP)
+        else:
+            keep = np.ones(len(lane_read), bool)
+            bad = (cnt > A_CAP) | flag
+        np.logical_or.at(fallback_rows, lane_read[bad], True)
+        kcnt = np.where(keep & ~fallback_rows[lane_read], cnt, 0)
+        tot = np.bincount(lane_read, weights=kcnt,
+                          minlength=B_pad).astype(np.int64)
+        over = tot > A2
+        if over.any():
+            fallback_rows |= over
+            kcnt = np.where(fallback_rows[lane_read], 0, kcnt)
+            tot[over] = 0
+        # flat destination: read_row * A2 + prefix within read
+        pre = np.cumsum(kcnt) - kcnt
+        read_start = np.zeros(B_pad, np.int64)
+        first = np.ones(len(lane_read), bool)
+        first[1:] = lane_read[1:] != lane_read[:-1]
+        read_start[lane_read[first]] = pre[first]
+        within = pre - read_start[lane_read]
+        rowids = _csr_expand(base, kcnt)
+        dest = _csr_expand(lane_read.astype(np.int64) * A2 + within, kcnt)
+        gidx.reshape(-1)[dest] = rowids
+        nanc[: len(tot)] = tot
+        return gidx, nanc
 
     # ---- main entry --------------------------------------------------------
     def classify_reads(self, recs):
@@ -301,96 +366,80 @@ class DeviceClassifier:
         l_ek = idx.len_e_kmer
         results = [ReadResult(r.name, r.seq, r.qual, len(r.seq))
                    for r in recs]
+        self.n_classified += len(recs)
         todo = [i for i, r in enumerate(recs) if len(r.seq) >= MIN_READ_LEN]
-        island_info = self._islands([recs[i].seq for i in todo])
-
-        read_lens = {}
-        bufs = {}
-        for k, i in enumerate(todo):
-            read_lens[i] = len(recs[i].seq)
-            bufs[i] = island_info[k][0][0].buf
+        bufs, seeds, s_off, s_cnt, s_tot = self._islands(
+            [recs[i].seq for i in todo])
         if not todo:
             yield from results
             return
+        B = len(todo)
+        rl_arr = np.array([len(recs[i].seq) for i in todo], np.int32)
+
         # pad buffer dims to buckets so ladder jit shapes repeat across
         # batches (B to pow2, width to a 2048 multiple)
-        Lmax = max(len(b) for b in bufs.values())
+        Lmax = max(len(b) for b in bufs)
         Lmax = ((Lmax + 2047) // 2048) * 2048
-        B_pad = _bucket(len(todo), 64)
-        rows = {}
+        B_pad = _bucket(B, 64)
         codes_np = np.zeros((B_pad, Lmax), np.uint8)
         blen_np = np.zeros((B_pad,), np.int32)
-        for k, i in enumerate(todo):
-            rows[i] = k
-            codes_np[k, : len(bufs[i])] = bufs[i]
-            blen_np[k] = len(bufs[i])
+        for k in range(B):
+            codes_np[k, : len(bufs[k])] = bufs[k]
+            blen_np[k] = len(bufs[k])
         codes_fr = jnp.asarray(codes_np)
         buf_len = jnp.asarray(blen_np)
         pre13 = pre13_values(codes_fr, l_ek)
-        rl = {rows[i]: read_lens[i] for i in todo}
+        rlen_np = np.zeros((B_pad,), np.int32)
+        rlen_np[:B] = rl_arr
+
+        # ---- strand metadata (read row k <-> strands 2k, 2k+1) ------------
+        s_tot = s_tot.astype(np.int64)
+        d0 = (s_tot[0::2] < s_tot[1::2]).astype(np.int64)  # best dir first
+        t_hi = np.where(d0 == 1, s_tot[1::2], s_tot[0::2])
+        t_lo = np.where(d0 == 1, s_tot[0::2], s_tot[1::2])
+        both = (t_hi - t_lo) <= (t_hi >> 3)
+        ar2 = np.arange(B, dtype=np.int64)
+        strand_dir = np.tile(np.array([FORWARD, REVERSE], np.int32), B)
+        strand_base = np.zeros(2 * B, np.int32)
+        strand_base[1::2] = rl_arr
+        # strands in (read, dpos) order; dpos 0 = best direction
+        ord_strands = np.empty(2 * B, np.int64)
+        ord_strands[0::2] = 2 * ar2 + d0
+        ord_strands[1::2] = 2 * ar2 + 1 - d0
+        first_top = np.zeros(2 * B, bool)
+        has = s_cnt > 0
+        first_top[has] = seeds[s_off[has], 2] > 0
+
+        def lanes_for(strands, seed_mask_fn):
+            """LaneSet for the given strand list (ordered by read),
+            filtering seeds by seed_mask_fn(global seed idx array,
+            strand array per seed)."""
+            cnts = s_cnt[strands]
+            sidx = _csr_expand(s_off[strands], cnts)
+            sstr = np.repeat(strands, cnts)
+            sid = (sidx - s_off[sstr]).astype(np.int32)
+            m = seed_mask_fn(sidx, sstr)
+            sidx, sstr, sid = sidx[m], sstr[m], sid[m]
+            ridx = (sstr // 2).astype(np.int32)
+            return LaneSet(ridx, strand_base[sstr], rl_arr[ridx],
+                           strand_dir[sstr], sid,
+                           seeds[sidx, 0], seeds[sidx, 1])
 
         # ---- fast pass (dir0 + dir1-if-both) ------------------------------
-        fast_lanes = []          # (row, base, dir, sid, off, len)
-        fast_groups = {}         # (read_i, dpos) -> [lane ids]
-        for k, i in enumerate(todo):
-            dirs, both = island_info[k]
-            for dpos in range(2 if both else 1):
-                sd = dirs[dpos]
-                ids = []
-                for sid, s in enumerate(sd.seeds):
-                    if s[2]:
-                        ids.append(len(fast_lanes))
-                        fast_lanes.append((rows[i], sd.base, sd.direction,
-                                           sid, s[0], s[1]))
-                fast_groups[(i, dpos)] = ids
-        fast_out = self._run_fast(fast_lanes, codes_fr, buf_len, pre13, rl)
+        inc_strand = np.zeros(2 * B, bool)
+        inc_strand[ord_strands[0::2]] = True
+        inc_strand[ord_strands[1::2]] |= both
+        fast_ls = lanes_for(ord_strands,
+                            lambda sidx, sstr: (seeds[sidx, 2] > 0)
+                            & inc_strand[sstr])
+        fast_out = self._run_ladder("fast", fast_ls, codes_fr, buf_len,
+                                    pre13)
 
-        fallback_reads = set()
-        if fast_out is not None and bool(fast_out[4]):
-            fallback_reads.update(todo)
+        fallback = np.zeros(B_pad, bool)
+        if fast_out is not None and fast_out[4]:
+            fallback[:B] = True
 
         A2 = dr.A_CAP
-        B_pad = codes_np.shape[0]
-        rlen_np = np.zeros((B_pad,), np.int32)
-        for i in todo:
-            rlen_np[rows[i]] = read_lens[i]
-
-        def build_gidx(lane_lists, outs, apply_skip):
-            """Per-read packed-row id lists -> (gidx, n_anc); reads whose
-            rows exceed A2 or whose lanes overflowed fall back. Only the
-            small base/cnt/skip vectors are touched — anchor rows stay on
-            device."""
-            gidx = np.full((B_pad, A2), -1, np.int32)
-            nanc = np.zeros((B_pad,), np.int32)
-            for i, parts in lane_lists.items():
-                if i in fallback_reads:
-                    continue
-                rowids = []
-                ok = True
-                for out, lane_ids in parts:
-                    _, base_h, acnt_h, flag_h, _ = out
-                    skip_next = False
-                    for lid in lane_ids:
-                        if skip_next:
-                            skip_next = False
-                            continue
-                        cnt = int(acnt_h[lid])
-                        if cnt > A_CAP or (not apply_skip and flag_h[lid]):
-                            ok = False   # lane overflow (slow: mem ovf)
-                            break
-                        b0 = int(base_h[lid])
-                        rowids.extend(range(b0, b0 + cnt))
-                        if apply_skip and flag_h[lid]:
-                            skip_next = True
-                    if not ok:
-                        break
-                if not ok or len(rowids) > A2:
-                    fallback_reads.add(i)
-                    continue
-                r = rows[i]
-                gidx[r, : len(rowids)] = rowids
-                nanc[r] = len(rowids)
-            return gidx, nanc
 
         zero_set = None
 
@@ -415,118 +464,93 @@ class DeviceClassifier:
             return out, n_h, dec, ovf_h
 
         # ---- fast chains (device) -----------------------------------------
-        fast_lists = {}
-        for k, i in enumerate(todo):
-            dirs, both = island_info[k]
-            ids = []
-            for dpos in range(2 if both else 1):
-                ids.extend(fast_groups[(i, dpos)])
-            fast_lists[i] = [(fast_out, ids)] if fast_out is not None else []
-        gidx_f, nanc_f = build_gidx(fast_lists, None, True) \
-            if fast_out is not None else (None, np.zeros((B_pad,), np.int32))
+        if fast_out is not None:
+            gidx_f, nanc_f = self._build_gidx(
+                B_pad, A2, fast_ls.ridx, fast_out[1], fast_out[2],
+                fast_out[3], True, fallback)
+        else:
+            gidx_f, nanc_f = None, np.zeros((B_pad,), np.int32)
         set_f, n_f, dec_f, ovf_f = chain_stage(
             fast_out[0] if fast_out is not None else None, gidx_f, nanc_f)
 
         # ---- run_slow decisions + slow dir0 -------------------------------
-        slow0_lanes, slow0_groups = [], {}
-        for k, i in enumerate(todo):
-            if i in fallback_reads:
-                continue
-            r = rows[i]
-            if ovf_f[r]:
-                fallback_reads.add(i)   # M3 / chain-slot overflow
-                continue
-            dirs, both = island_info[k]
-            n0 = int(n_f[r])
-            run_slow = False
-            if n0 == 0:
-                run_slow = True
-            elif int(dec_f[r, 0]) < 5:
-                run_slow = True
-                if read_lens[i] <= 300 and int(dec_f[r, 1]) > 200:
-                    run_slow = False
-            if run_slow:
-                results[i].fast = False
-                sd = dirs[0]
-                first_top = bool(sd.seeds[0][2]) if len(sd.seeds) else False
-                ids = []
-                for sid, s in enumerate(sd.seeds):
-                    if s[1] < 3 and not first_top:
-                        continue
-                    ids.append(len(slow0_lanes))
-                    slow0_lanes.append((rows[i], sd.base, sd.direction, sid,
-                                        s[0], s[1]))
-                slow0_groups[i] = ids
-
-        slow0_out = self._run_slow(slow0_lanes, codes_fr, buf_len, pre13, rl)
-        if slow0_out is not None and bool(slow0_out[4]):
-            fallback_reads.update(slow0_groups.keys())
-        gidx_s0, nanc_s0 = build_gidx(
-            {i: [(slow0_out, ids)] for i, ids in slow0_groups.items()},
-            None, False) if slow0_out is not None \
-            else (None, np.zeros((B_pad,), np.int32))
+        fallback[:B] |= ovf_f[:B]   # M3 / chain-slot overflow
+        n0 = n_f[:B]
+        run_slow = ((n0 == 0)
+                    | ((dec_f[:B, 0] < 5)
+                       & ~((rl_arr <= 300) & (dec_f[:B, 1] > 200))))
+        run_slow &= ~fallback[:B]
+        for k in np.flatnonzero(run_slow):
+            results[todo[k]].fast = False
+        slow_reads0 = np.flatnonzero(run_slow)
+        str0 = (2 * slow_reads0 + d0[slow_reads0]).astype(np.int64)
+        slow0_ls = lanes_for(
+            str0, lambda sidx, sstr: (seeds[sidx, 1] >= 3)
+            | first_top[sstr])
+        slow0_out = self._run_ladder("slow", slow0_ls, codes_fr, buf_len,
+                                     pre13)
+        if slow0_out is not None and slow0_out[4]:
+            np.logical_or.at(fallback, slow_reads0, True)
+        if slow0_out is not None:
+            gidx_s0, nanc_s0 = self._build_gidx(
+                B_pad, A2, slow0_ls.ridx, slow0_out[1], slow0_out[2],
+                slow0_out[3], False, fallback)
+        else:
+            gidx_s0, nanc_s0 = None, np.zeros((B_pad,), np.int32)
         set_s0, n_s0, dec_s0, ovf_s0 = chain_stage(
             slow0_out[0] if slow0_out is not None else None, gidx_s0,
             nanc_s0)
 
         # ---- decide + run slow dir1 ---------------------------------------
-        slow1_lanes, slow1_groups = [], {}
-        for k, i in enumerate(todo):
-            if i in fallback_reads or i not in slow0_groups:
-                continue
-            r = rows[i]
-            if ovf_s0[r]:
-                fallback_reads.add(i)
-                continue
-            dirs, both = island_info[k]
-            if both or int(n_s0[r]) == 0 or int(dec_s0[r, 0]) < 5:
-                sd = dirs[1]
-                first_top = bool(sd.seeds[0][2]) if len(sd.seeds) else False
-                ids = []
-                for sid, s in enumerate(sd.seeds):
-                    if s[1] < 3 and not first_top:
-                        continue
-                    ids.append(len(slow1_lanes))
-                    slow1_lanes.append((rows[i], sd.base, sd.direction, sid,
-                                        s[0], s[1]))
-                slow1_groups[i] = ids
-
-        slow1_out = self._run_slow(slow1_lanes, codes_fr, buf_len, pre13, rl)
-        if slow1_out is not None and bool(slow1_out[4]):
-            fallback_reads.update(slow1_groups.keys())
+        in_slow0 = np.zeros(B, bool)
+        in_slow0[slow_reads0] = True
+        fallback[:B] |= in_slow0 & ovf_s0[:B]
+        want1 = in_slow0 & ~fallback[:B] & (
+            both | (n_s0[:B] == 0) | (dec_s0[:B, 0] < 5))
+        slow_reads1 = np.flatnonzero(want1)
+        str1 = (2 * slow_reads1 + 1 - d0[slow_reads1]).astype(np.int64)
+        slow1_ls = lanes_for(
+            str1, lambda sidx, sstr: (seeds[sidx, 1] >= 3)
+            | first_top[sstr])
+        slow1_out = self._run_ladder("slow", slow1_ls, codes_fr, buf_len,
+                                     pre13)
+        if slow1_out is not None and slow1_out[4]:
+            np.logical_or.at(fallback, slow_reads1, True)
+        # sel falls back to the slow0 set when no dir1 lanes ran at all
+        # (matching the round-2 engine's `slow1_out is not None` gate)
+        in_slow1 = np.zeros(B, bool)
         if slow1_out is not None:
-            # chain call 3 consumes slow0 + slow1 anchors per read: offset
-            # the dir1 row ids past the dir0 pack and concat on device
+            in_slow1[slow_reads1] = True
+        if slow1_out is not None:
+            # chain call 3 consumes slow0 + slow1 anchors per read: order
+            # the combined lanes by (read, part) and offset dir1 row ids
+            # past the dir0 pack
             off01 = slow0_out[0].shape[0]
-            s1_shift = [slow1_out[0], slow1_out[1] + off01, slow1_out[2],
-                        slow1_out[3], slow1_out[4]]
-            lists01 = {i: [(slow0_out, slow0_groups[i]),
-                           (s1_shift, ids)]
-                       for i, ids in slow1_groups.items()}
-            gidx_s1, nanc_s1 = build_gidx(lists01, None, False)
+            m0 = in_slow1[slow0_ls.ridx]
+            lr = np.concatenate([slow0_ls.ridx[m0], slow1_ls.ridx])
+            part = np.concatenate([np.zeros(int(m0.sum()), np.int8),
+                                   np.ones(slow1_ls.n, np.int8)])
+            bs = np.concatenate([slow0_out[1][m0], slow1_out[1] + off01])
+            ct = np.concatenate([slow0_out[2][m0], slow1_out[2]])
+            fl = np.concatenate([slow0_out[3][m0], slow1_out[3]])
+            o = np.lexsort((part, lr))
+            gidx_s1, nanc_s1 = self._build_gidx(
+                B_pad, A2, lr[o], bs[o], ct[o], fl[o], False, fallback)
             packed01 = jnp.concatenate([slow0_out[0], slow1_out[0]], axis=0)
         else:
             gidx_s1, nanc_s1 = None, np.zeros((B_pad,), np.int32)
             packed01 = None
         set_s1, n_s1, dec_s1, ovf_s1 = chain_stage(packed01, gidx_s1,
                                                    nanc_s1)
-        for i in slow1_groups:
-            if ovf_s1[rows[i]]:
-                fallback_reads.add(i)
+        fallback[:B] |= in_slow1 & ovf_s1[:B]
 
         # ---- device rescore over the whole batch --------------------------
         sel_np = np.zeros((B_pad,), np.int32)
+        sel_np[:B] = np.where(in_slow1, 2, np.where(in_slow0, 1, 0))
+        nanc_final = np.where(sel_np == 2, nanc_s1,
+                              np.where(sel_np == 1, nanc_s0, nanc_f))
         live_np = np.zeros((B_pad,), bool)
-        nanc_final = nanc_f
-        for i in todo:
-            r = rows[i]
-            if i in slow1_groups and slow1_out is not None:
-                sel_np[r] = 2
-                nanc_final[r] = nanc_s1[r]
-            elif i in slow0_groups:
-                sel_np[r] = 1
-                nanc_final[r] = nanc_s0[r]
-            live_np[r] = i not in fallback_reads
+        live_np[:B] = ~fallback[:B]
         chs3 = jnp.stack([set_f[0], set_s0[0], set_s1[0]])
         ns3 = jnp.stack([set_f[1], set_s0[1], set_s1[1]])
         pre3 = jnp.stack([set_f[2], set_s0[2], set_s1[2]])
@@ -553,20 +577,20 @@ class DeviceClassifier:
                 return v - dr.T_BIAS + (1 << 32)
             return v & 0xFFFFFFFF if v < 0 else v
 
+        from ..gold.rescore import post_finish_native
         for k, i in enumerate(todo):
             res = results[i]
-            r = rows[i]
-            if (i in fallback_reads or over_h[r]
-                    or (n_h[r] > 0 and fb_h[r])):
+            if (fallback[k] or over_h[k] or (n_h[k] > 0 and fb_h[k])):
                 g = self.gold
                 g.state = self.state
                 results[i] = g.classify_read(recs[i].name, recs[i].seq,
                                              recs[i].qual)
+                self.n_fallback += 1
                 continue
-            res.anchors = [None] * int(nanc_final[r])
+            res.anchors = [None] * int(nanc_final[k])
             chains = []
-            for ci in range(int(n_h[r])):
-                row = chains_h[r, ci]
+            for ci in range(int(n_h[k])):
+                row = chains_h[k, ci]
                 chains.append(Chain(
                     ref_id=int(row[dr.C_REF]), q_t_dis=0,
                     sum_score=int(row[dr.C_SUM]),
@@ -577,15 +601,14 @@ class DeviceClassifier:
                     q_ed=coord(row[dr.C_QED]), indel=int(row[dr.C_INDEL]),
                     chain_id=ci, chain_anchor_cur=None))
             res.chains = chains
-            from ..gold.rescore import post_finish_native
+            rl = int(rl_arr[k])
             if res.chains and post_finish_native(self.idx, res.chains,
-                                                 read_lens[i], self.state,
+                                                 rl, self.state,
                                                  self.opts):
                 continue
             if res.chains:
-                post_rescore_finish(res.chains, read_lens[i], self.state,
-                                    self.opts)
-            detect_primary(res.chains, read_lens[i])
+                post_rescore_finish(res.chains, rl, self.state, self.opts)
+            detect_primary(res.chains, rl)
         yield from results
 
     def classify_file(self, path):
