@@ -53,6 +53,7 @@ class DeviceIndex:
     q_mem: jnp.ndarray       # (Q_MEM_MAX,) int32 MAPQ tables
     q_lv: jnp.ndarray        # (20, 20) int32
     # position-space walk tables
+    ref_pk: jnp.ndarray      # (1, ceil(n_bases/16)) uint32 packed 2-bit ref
     text_pk: jnp.ndarray     # (1, ceil(L/16)) uint32 packed 2-bit text
     sep_any: jnp.ndarray     # (ceil(L/32),) uint32: bit q = text[q] >= 4
     sep_hash: jnp.ndarray    # (ceil(L/32),) uint32: bit q = text[q] == '#'
@@ -78,6 +79,7 @@ class DeviceIndex:
             uni_ref_list=self.uni_ref_list,
             rp_global_off=self.rp_global_off, rp_ref_id=self.rp_ref_id,
             ref_off=self.ref_off, ref_bin=self.ref_bin,
+            ref_pk=self.ref_pk,
             text_pk=self.text_pk, sep_any=self.sep_any,
             sep_hash=self.sep_hash, samp_bits=self.samp_bits,
             isa=self.isa, pos2uni=self.pos2uni,
@@ -137,12 +139,24 @@ class DeviceIndex:
                     << np.arange(32, dtype=np.uint32)[None, :]).sum(
                         axis=1, dtype=np.uint32)
 
-        Wp = (L + 15) // 16
-        tp = np.zeros(Wp * 16, np.uint32)
-        tp[:L] = text & 3
-        text_pk = (tp.reshape(Wp, 16)
-                   << (np.arange(16, dtype=np.uint32) * 2)[None, :]).sum(
-                       axis=1, dtype=np.uint32)[None, :]
+        def pack16(ch):
+            n_ch = len(ch)
+            Wp = (n_ch + 15) // 16
+            tp = np.zeros(Wp * 16, np.uint32)
+            tp[:n_ch] = ch
+            return (tp.reshape(Wp, 16)
+                    << (np.arange(16, dtype=np.uint32) * 2)[None, :]).sum(
+                        axis=1, dtype=np.uint32)[None, :]
+
+        text_pk = pack16(text & 3)
+        # reference chars, same packed layout (MSB-first nibble order in
+        # ref_bin bytes -> little-endian char order in words)
+        rb = idx.ref_bin
+        ref_chars = np.empty(len(rb) * 4, np.uint8)
+        for j, sh in enumerate((6, 4, 2, 0)):
+            ref_chars[j::4] = (rb >> sh) & 3
+        ref_pk = pack16(ref_chars)
+        del ref_chars
         # pos -> unitig: count of unitig starts <= q (get_uni's searchsorted)
         bounds = np.concatenate([
             [0], idx.uni_start[1 : idx.n_uni + 1].astype(np.int64), [L]])
@@ -170,6 +184,7 @@ class DeviceIndex:
             ref_bin=jnp.asarray(idx.ref_bin),
             q_mem=jnp.asarray(q_mem.astype(np.int32)),
             q_lv=jnp.asarray(q_lv.astype(np.int32)),
+            ref_pk=jnp.asarray(ref_pk),
             text_pk=jnp.asarray(text_pk),
             sep_any=jnp.asarray(bitmap32(text >= 4)),
             sep_hash=jnp.asarray(bitmap32(text == 4)),

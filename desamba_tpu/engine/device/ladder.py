@@ -137,7 +137,7 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
             mk = act_c & dx(r_valid)
             q_off = str_idx - dx(r_len)
             an_c, ac_c, ms = map_seed_lanes(
-                ixr, codes_fr, buf_len, q_mem, q_lv, ridx_c, base_c, rl_c,
+                ixr, codes_pk, buf_len, q_mem, q_lv, ridx_c, base_c, rl_c,
                 dir_c, sid_c, dx(r_sp).astype(I32), dx(r_len),
                 dx(r_sa_ok), dx(r_sa).astype(I32), dx(r_sa_l), q_off,
                 mk, an_c, ac_c, a_cap=a_cap)
@@ -267,7 +267,7 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
         str_idx = rec[:, 5]
         q_off = str_idx - rec[:, 0]
         anchors, a_cnt, _ms = map_seed_lanes(
-            ixr, codes_fr, buf_len, q_mem, q_lv, ridx, base, read_len,
+            ixr, codes_pk, buf_len, q_mem, q_lv, ridx, base, read_len,
             direction, sid, rec[:, 1], rec[:, 0], rec[:, 3].astype(bool),
             rec[:, 2], rec[:, 4], q_off, ok, anchors, a_cnt, a_cap=a_cap)
         return anchors, a_cnt

@@ -25,7 +25,7 @@ from ...constants import (
     SA_MASK,
 )
 from .lv import lv_batch
-from .textwalk import collect_backward, find_bit_high
+from .textwalk import _word16_rows, collect_backward, find_bit_high
 
 GARBAGE = 200
 I32 = jnp.int32
@@ -58,6 +58,7 @@ class IndexRefs(NamedTuple):
     rp_ref_id: jnp.ndarray     # (n_occ,) int32
     ref_off: jnp.ndarray       # (n_ref,) int32
     ref_bin: jnp.ndarray       # packed 2-bit reference, uint8
+    ref_pk: jnp.ndarray        # (1, ceil(n_bases/16)) uint32 packed ref
     # position-space walk tables (see arrays.DeviceIndex)
     text_pk: jnp.ndarray       # (1, ceil(L/16)) uint32 packed 2-bit text
     sep_any: jnp.ndarray       # (ceil(L/32),) uint32 bitmap: text >= 4
@@ -70,7 +71,7 @@ class IndexRefs(NamedTuple):
     n_bases: int               # len(ref_bin) * 4
 
 
-_N_ARRAYS = 17
+_N_ARRAYS = 18
 
 
 def _ixr_flatten(ix):
@@ -84,54 +85,47 @@ def _ixr_unflatten(aux, children):
 jax.tree_util.register_pytree_node(IndexRefs, _ixr_flatten, _ixr_unflatten)
 
 
-def qslice13(codes_fr, buf_len, ridx, start, step):
+def qslice13(codes_pk, buf_len, ridx, start, step):
     """13-char read-buffer window: gold qslice (GARBAGE outside buffer).
 
-    codes_fr: (B, 2*Lmax) F+R buffer; buf_len: (B,) = 2*read_len;
-    ridx/start: (N,); step: +1/-1. Returns (N, 13) uint8.
-    """
-    ar = jnp.arange(LV_L + 1, dtype=I32)[None, :]
+    codes_pk: (B, ceil(2*Lmax/16)) packed F+R buffer (textwalk.pack2);
+    buf_len: (B,) = 2*read_len; ridx/start: (N,); step: +1/-1.
+    Returns (N, 13) uint8. Two word gathers per lane instead of 13
+    char gathers (~12 ns per gathered element on this chip)."""
+    W = LV_L + 1
+    ar = jnp.arange(W, dtype=I32)[None, :]
+    base = start if step > 0 else start - (W - 1)
+    v = _word16_rows(codes_pk, ridx, base)
+    sh = (ar.astype(jnp.uint32) * 2)
+    ch = ((v[:, None] >> sh) & jnp.uint32(3)).astype(jnp.uint8)
+    if step < 0:
+        ch = ch[:, ::-1]
     idx = start[:, None] + step * ar
     ok = (idx >= 0) & (idx < buf_len[ridx][:, None])
-    got = codes_fr[ridx[:, None], jnp.clip(idx, 0, codes_fr.shape[1] - 1)]
-    return jnp.where(ok, got, jnp.uint8(GARBAGE))
+    return jnp.where(ok, ch, jnp.uint8(GARBAGE))
 
 
-def get_ref13(ref_bin, n_bases, offset, length, forward: bool):
+def get_ref13(ix: IndexRefs, offset, length, forward: bool):
     """13-char packed-reference window (gold get_ref semantics).
 
-    offset: (N,) int32; length: (N,) — chars beyond `length` are 0-filled
-    like gold's np.empty... actually gold returns exactly `length` chars;
-    callers only read [:length]. Out-of-range indices are clamped.
-
-    Gathers packed BYTES over the contiguous char range (5 vs 14 char
-    gathers per lane; ~12 ns per gathered element on this chip) with an
-    elementwise alignment select; per-char boundary clamps replicate the
+    offset: (N,) int32; length: (N,) — chars beyond `length` are
+    0-filled; callers only read [:length]. Two word gathers per lane
+    (ref_pk) with per-position boundary clamps replicating the
     first/last reference char like the original per-index clip."""
+    ref_pk, n_bases = ix.ref_pk, ix.n_bases
     off = jnp.maximum(offset, 0)
     W = LV_L + 1
     ar = jnp.arange(W, dtype=I32)[None, :]
     start = off if forward else off - (W - 1)
-    # signed byte base keeps the alignment consistent for start < 0;
-    # the clipped leading bytes only feed positions with idx < 0, which
-    # the `under` fix overrides (char-0 replication = original clip)
-    b0 = start >> 2
-    a = (start & 3)[:, None]
-    nb = W // 4 + 2
-    bidx = jnp.clip(b0[:, None] + jnp.arange(nb, dtype=I32)[None, :],
-                    0, ref_bin.shape[0] - 1)
-    byts = ref_bin[bidx]
-    chars4 = jnp.stack([(byts >> 6) & 3, (byts >> 4) & 3,
-                        (byts >> 2) & 3, byts & 3], axis=2)
-    chars4 = chars4.reshape(chars4.shape[0], 4 * nb)
-    v = chars4[:, 0:W]
-    for s in (1, 2, 3):
-        v = jnp.where(a == s, chars4[:, s : s + W], v)
+    v16 = _word16_rows(ref_pk, jnp.zeros_like(off), start)
+    sh = (ar.astype(jnp.uint32) * 2)
+    v = ((v16[:, None] >> sh) & jnp.uint32(3)).astype(jnp.uint8)
     # per-position clamp semantics (original: clip(idx, 0, n-1))
     idx = start[:, None] + ar
-    first = ref_bin[0] >> jnp.uint8(6)
-    last = (ref_bin[(n_bases - 1) >> 2]
-            >> jnp.uint8(6 - (((n_bases - 1) & 3) << 1))) & jnp.uint8(3)
+    first = ((ref_pk[0, 0] & jnp.uint32(3))).astype(jnp.uint8)
+    last = ((ref_pk[0, (n_bases - 1) >> 4]
+             >> jnp.uint32(((n_bases - 1) & 15) * 2))
+            & jnp.uint32(3)).astype(jnp.uint8)
     v = jnp.where(idx < 0, first, v)
     v = jnp.where(idx >= n_bases, last, v)
     chars = v if forward else v[:, ::-1]
@@ -182,7 +176,7 @@ def get_uni(ix: IndexRefs, row, search_l, active):
     return u, uoff, g
 
 
-def get_new_ed(ix: IndexRefs, codes_fr, buf_len, ridx, base, q_off, t_off,
+def get_new_ed(ix: IndexRefs, codes_pk, buf_len, ridx, base, q_off, t_off,
                l_read, is_fwd: bool, active, q_lv):
     """gold get_new_ed: re-extension against the true reference.
 
@@ -198,11 +192,11 @@ def get_new_ed(ix: IndexRefs, codes_fr, buf_len, ridx, base, q_off, t_off,
 
     def gather_q(q_off_c, l_ext_c, length_c):
         if is_fwd:
-            return qslice13(codes_fr, buf_len, ridx, base + q_off_c, -1)
-        return qslice13(codes_fr, buf_len, ridx, base + q_off_c + l_ext_c, 1)
+            return qslice13(codes_pk, buf_len, ridx, base + q_off_c, -1)
+        return qslice13(codes_pk, buf_len, ridx, base + q_off_c + l_ext_c, 1)
 
     q = gather_q(q_off, l_ext, length)
-    t = get_ref13(ix.ref_bin, ix.n_bases, t_off, length, not is_fwd)
+    t = get_ref13(ix, t_off, length, not is_fwd)
     enter = active & (length > 0) & (t[:, 0] == q[:, 0])
 
     def cond(st):
@@ -211,7 +205,7 @@ def get_new_ed(ix: IndexRefs, codes_fr, buf_len, ridx, base, q_off, t_off,
     def body(st):
         q_off_c, t_off_c, max_len_c, length_c, l_ext_c, _q, run, _t = st
         qv = gather_q(q_off_c, l_ext_c, length_c)
-        tv = get_ref13(ix.ref_bin, ix.n_bases, t_off_c, length_c, not is_fwd)
+        tv = get_ref13(ix, t_off_c, length_c, not is_fwd)
         mtc = _leading_matches(tv, qv, length_c)
         stop = mtc <= 0
         adv = run & ~stop
@@ -226,7 +220,7 @@ def get_new_ed(ix: IndexRefs, codes_fr, buf_len, ridx, base, q_off, t_off,
             t_off_n = jnp.where(adv, t_off_c + mtc, t_off_c)
         # re-gather for the next check / final LV inputs
         qn = gather_q(q_off_n, l_ext_n, length_n)
-        tn = get_ref13(ix.ref_bin, ix.n_bases, t_off_n, length_n, not is_fwd)
+        tn = get_ref13(ix, t_off_n, length_n, not is_fwd)
         cont = adv & (length_n > 0)
         q_out = jnp.where(adv[:, None], qn, _q)
         t_out = jnp.where(adv[:, None], tn, _t)
@@ -240,7 +234,7 @@ def get_new_ed(ix: IndexRefs, codes_fr, buf_len, ridx, base, q_off, t_off,
     return ed, length, l_ext
 
 
-def map_seed_lanes(ix: IndexRefs, codes_fr, buf_len, q_mem, q_lv,
+def map_seed_lanes(ix: IndexRefs, codes_pk, buf_len, q_mem, q_lv,
                    ridx, base, read_len, direction, seed_id,
                    sp_row, l_m0, sa_ok, sa_row, sa_l, q_off, active,
                    anchors, a_cnt, a_cap: int, occ_cap: int = 1000):
@@ -255,7 +249,7 @@ def map_seed_lanes(ix: IndexRefs, codes_fr, buf_len, q_mem, q_lv,
 
     # ---- step 1: prefix ---------------------------------------------------
     l_pre0 = jnp.minimum(q_off + 1, LV_L)
-    q_pre = qslice13(codes_fr, buf_len, ridx, base + q_off, -1)
+    q_pre = qslice13(codes_pk, buf_len, ridx, base + q_off, -1)
 
     # pre-walk for lanes without an SA sample (collect <= 12 chars):
     # position space — the chars the LF walk would read are
@@ -298,7 +292,7 @@ def map_seed_lanes(ix: IndexRefs, codes_fr, buf_len, q_mem, q_lv,
     dead = dead | short_uni
 
     l_pre = jnp.where(have_uni1, jnp.minimum(l_pre0, u_off), s_l)
-    t_pre_ref = get_ref13(ix.ref_bin, ix.n_bases, t_off - 1, l_pre, False)
+    t_pre_ref = get_ref13(ix, t_off - 1, l_pre, False)
     t_pre = jnp.where(have_uni1[:, None], t_pre_ref, walk_chars)
     d_pre = lv_batch(t_pre[:, :LV_L + 1], q_pre[:, :LV_L + 1],
                      jnp.clip(l_pre, 0, LV_L))
@@ -338,8 +332,8 @@ def map_seed_lanes(ix: IndexRefs, codes_fr, buf_len, q_mem, q_lv,
     l_suf = jnp.minimum(l_max_suf, U32(LV_L)).astype(I32)
     l_suf = jnp.where(has_suf, l_suf, 0)
     q_suf_i = q_off_r
-    t_suf = get_ref13(ix.ref_bin, ix.n_bases, t_off + l_m, l_suf, True)
-    q_suf = qslice13(codes_fr, buf_len, ridx, base + q_suf_i, 1)
+    t_suf = get_ref13(ix, t_off + l_m, l_suf, True)
+    q_suf = qslice13(codes_pk, buf_len, ridx, base + q_suf_i, 1)
     enter = has_suf & (l_suf > 0) & (t_suf[:, 0] == q_suf[:, 0])
 
     def scond(st):
@@ -358,8 +352,8 @@ def map_seed_lanes(ix: IndexRefs, codes_fr, buf_len, q_mem, q_lv,
         l_suf_n = jnp.where(adv, jnp.minimum(lms_n, U32(LV_L)).astype(I32),
                             l_suf_c)
         q_i_n = jnp.where(adv, q_i_c + mtc, q_i_c)
-        t_n = get_ref13(ix.ref_bin, ix.n_bases, t_off + l_m_n, l_suf_n, True)
-        q_n = qslice13(codes_fr, buf_len, ridx, base + q_i_n, 1)
+        t_n = get_ref13(ix, t_off + l_m_n, l_suf_n, True)
+        q_n = qslice13(codes_pk, buf_len, ridx, base + q_i_n, 1)
         t_out = jnp.where(adv[:, None], t_n, t_c)
         q_out = jnp.where(adv[:, None], q_n, q_c)
         cont = adv & (l_suf_n > 0)
@@ -401,14 +395,14 @@ def map_seed_lanes(ix: IndexRefs, codes_fr, buf_len, q_mem, q_lv,
         a_ll, a_le = l_pre, d_pre
         a_rl, a_re = l_suf, d_suf
         ed_l, len_l, lx_l = get_new_ed(
-            ix, codes_fr, buf_len, ridx, base, q_off, g_off + u_off - 1,
+            ix, codes_pk, buf_len, ridx, base, q_off, g_off + u_off - 1,
             read_len, True, run & ref_search_l, q_lv)
         lx_l = jnp.where(ref_search_l, lx_l, 0)
         a_ll = jnp.where(ref_search_l, len_l, a_ll)
         a_le = jnp.where(ref_search_l, ed_l, a_le)
         a_mtch0 = l_m + lx_l
         ed_r, len_r, lx_r = get_new_ed(
-            ix, codes_fr, buf_len, ridx, base, q_off + l_m + 1,
+            ix, codes_pk, buf_len, ridx, base, q_off + l_m + 1,
             g_off + u_off + l_m, read_len, False, run & ref_search_r, q_lv)
         a_rl = jnp.where(ref_search_r, len_r, a_rl)
         a_re = jnp.where(ref_search_r, ed_r, a_re)

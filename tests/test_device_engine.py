@@ -176,8 +176,9 @@ def test_map_seed_lanes_parity(device_setup):
     sa_ok = np.array([c["sa"] != MAX_U64 for c in calls])
     sa_row = np.array([c["sa"] & 0xFFFFFFFF if c["sa"] != MAX_U64 else 0
                        for c in calls], dtype=np.int64)
+    from desamba_tpu.engine.device.textwalk import pack2
     fn = jax.jit(map_seed_lanes, static_argnames=("a_cap", "occ_cap"))
-    out = fn(ixr, jnp.asarray(codes_fr), jnp.asarray(buf_len), dix.q_mem,
+    out = fn(ixr, pack2(jnp.asarray(codes_fr)), jnp.asarray(buf_len), dix.q_mem,
              dix.q_lv, arr("rid"), arr("base"), arr("rl"), arr("dir"),
              arr("sid"), arr("sp"), arr("ml"), jnp.asarray(sa_ok),
              jnp.asarray(sa_row.astype(np.int32)), arr("sal"), arr("qoff"),
