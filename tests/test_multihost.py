@@ -1,0 +1,96 @@
+"""Real multi-process (DCN) classify: 2 localhost jax.distributed
+processes, 4 virtual CPU devices each, classify a corpus end-to-end and
+gather ordered output over DCN — bit-equal to a single-process run.
+
+This exercises parallel/distributed.py with *real processes* (VERDICT
+r2 item 3): jax.distributed.initialize, host_mesh over the global
+device set (idx never crossing a process), a psum on the global mesh,
+contiguous input scatter with prefix-max stream-state seeding
+(src/cly.h:157), and a Gloo allgather result drain.
+"""
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_classify_parity(small_my_index, tmp_path):
+    from desamba_tpu.engine.gold.classify import ClassifyEngine, Options
+    from desamba_tpu.index.store import save_index
+    from desamba_tpu.io.fastx import read_fastx_fast as read_fastx
+
+    # corpus: reuse the mesh-classifier noisy generator inline (48 reads
+    # incl. short/unclassified and revcomp reads)
+    import numpy as np
+
+    from desamba_tpu.engine.gold.mapseed import get_ref
+
+    idx = small_my_index
+    rng = np.random.default_rng(17)
+    total = int(idx.ref_off[-1] + idx.ref_len[-1])
+    comp = {0: 3, 1: 2, 2: 1, 3: 0}
+    fq = tmp_path / "reads.fq"
+    with open(fq, "w") as f:
+        for k in range(48):
+            ln = int(rng.integers(150, 900))
+            st = int(rng.integers(0, total - ln))
+            seq = get_ref(idx.ref_bin, st, ln, True).copy()
+            pos = rng.integers(0, ln, size=ln // 12)
+            seq[pos] = (seq[pos] + rng.integers(1, 4, size=len(pos))) % 4
+            s = "".join("ACGT"[c] for c in seq)
+            if k % 3 == 1:
+                s = "".join("ACGT"[comp[c]] for c in seq[::-1])
+            if k % 7 == 0:
+                s = s[:40]
+            f.write(f"@r{k}\n{s}\n+\n{'I' * len(s)}\n")
+
+    idx_dir = tmp_path / "idx"
+    save_index(idx, str(idx_dir))
+
+    # single-process oracle (gold engine, serial = stream order)
+    from desamba_tpu.io.sam import format_result
+
+    eng = ClassifyEngine(idx, Options())
+    recs = list(read_fastx(str(fq)))
+    exp = "".join(format_result(eng.classify_read(r.name, r.seq, r.qual),
+                                idx.ref_name, eng.opts) for r in recs)
+
+    out = tmp_path / "mh.sam"
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker sets cpu itself
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tools" / "multihost_worker.py"),
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(k),
+             "--index", str(idx_dir), "--reads", str(fq),
+             "--out", str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for k in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(o)
+    for k, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {k} failed:\n{o[-4000:]}"
+    assert out.read_text() == exp

@@ -25,7 +25,8 @@ from desamba_tpu.io.sam import format_result
 args = [a for a in sys.argv[1:] if a != '--tpu']
 N = int(args[0]) if args else 300
 idx = load_index('/tmp/desamba_test_cache/index_viral_ours')
-reads = list(read_fastx('/tmp/desamba_test_cache/demo/ERR1050068.fastq'))[:N]
+_src = '/tmp/desamba_test_cache/demo/ERR1050068_x8.fastq' if N > 1237 else '/tmp/desamba_test_cache/demo/ERR1050068.fastq'
+reads = list(read_fastx(_src))[:N]
 eng = DeviceClassifier(idx, Options())
 
 T = {}
