@@ -202,6 +202,13 @@ static char *put_s(char *p, const char *s, int64_t n) {
     return p + n;
 }
 
+/* uint32 chain coordinates printed with %d (reference cly_mt.c):
+ * wrapped values (left extension crossed the ref start) print negative */
+static int64_t drv_i32(int64_t x) {
+    x &= 0xFFFFFFFFll;
+    return x >= 0x80000000ll ? x - 0x100000000ll : x;
+}
+
 static char *put_i(char *p, int64_t v) {
     char tmp[24];
     int k = 0;
@@ -273,11 +280,11 @@ static int64_t sam_one(const char *name, int64_t name_l, const char *seq,
             /* ref name copied outside the stack buffer (can be long) */
             char *head_end = p;
             p = stack + 64;     /* second scratch region: after-ref part */
-            p = put_i(p, c[5]); *p++ = '\t';         /* t_st */
+            p = put_i(p, drv_i32(c[5])); *p++ = '\t';   /* t_st */
             p = put_i(p, mapq); *p++ = '\t';
-            p = put_i(p, c[7]); *p++ = hs;           /* q_st */
-            p = put_i(p, c[8] - c[7]); *p++ = 'M';
-            p = put_i(p, read_l - c[8]); *p++ = hs;
+            p = put_i(p, drv_i32(c[7])); *p++ = hs;      /* q_st */
+            p = put_i(p, drv_i32(c[8] - c[7])); *p++ = 'M';
+            p = put_i(p, drv_i32(read_l - c[8])); *p++ = hs;
             p = put_s(p, "\t*\t0\t0\t", 7);
             char *mid_end = p;
             int64_t need = name_l + (head_end - stack) + rn_l + 1 +

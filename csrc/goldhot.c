@@ -50,10 +50,12 @@ int64_t mem_run(const uint8_t *qbuf, int64_t lq, int64_t qi,
         if (m <= 0) return 0;
         while (n < m && qbuf[qi + n] == t[ti + n]) n++;
     } else {
-        if (qi + 1 < m) m = qi + 1;
+        /* q below the buffer start compares as char 0: the reference
+         * walks into the glibc chunk header (top size bytes 0x00) —
+         * see gold rescore._mem_q */
         if (ti + 1 < m) m = ti + 1;
         if (m <= 0) return 0;
-        while (n < m && qbuf[qi - n] == t[ti - n]) n++;
+        while (n < m && (qi - n >= 0 ? qbuf[qi - n] : 0) == t[ti - n]) n++;
     }
     return n;
 }
@@ -391,6 +393,12 @@ typedef struct {
     int64_t cur;                 /* head anchor index, -1 none */
 } CChain;
 
+static inline int64_t rt_u32(int64_t x) { return x & 0xFFFFFFFFll; }
+static inline int64_t rt_i32(int64_t x) {
+    x &= 0xFFFFFFFFll;
+    return x >= 0x80000000ll ? x - 0x100000000ll : x;
+}
+
 int64_t resolve_tree_m2(const int64_t *arows, int64_t n,
                         int64_t m3_threshold, int64_t max_dis_minus,
                         int64_t max_waiting_len,
@@ -406,8 +414,8 @@ int64_t resolve_tree_m2(const int64_t *arows, int64_t n,
         (void)goff_unused;
         int64_t ref_id = r[7], refoff = r[8], idx_in_read = r[9];
         int64_t dup = r[10], useless = r[12], dir = r[13];
-        int64_t dis = refoff - idx_in_read;
-        int64_t ref_l = refoff, ref_r = refoff + mtch;
+        int64_t dis = rt_i32(refoff - idx_in_read);
+        int64_t ref_l = refoff, ref_r = rt_u32(refoff + mtch);
         int64_t read_l = idx_in_read, read_r = idx_in_read + mtch;
         int64_t eff_score = dup ? 1 : score;
         CChain *hit = 0;
@@ -460,15 +468,16 @@ int64_t resolve_tree_m2(const int64_t *arows, int64_t n,
     for (int64_t i = 1; i < nc; i++) {
         int64_t key = ord[i];
         int64_t kt = ch[key].with_top ? 0 : 1;
-        int64_t ks = ch[key].sum_score
-                     + ((ch[key].q_ed - ch[key].q_st) << 1)
-                     - (ch[key].indel << 2);
+        int64_t ks = rt_i32(ch[key].sum_score
+                            + (rt_u32(ch[key].q_ed - ch[key].q_st) << 1))
+                     - rt_i32(rt_u32(ch[key].indel) << 2);
         int64_t p = i - 1;
         while (p >= 0) {
             int64_t pt = ch[ord[p]].with_top ? 0 : 1;
-            int64_t ps = ch[ord[p]].sum_score
-                         + ((ch[ord[p]].q_ed - ch[ord[p]].q_st) << 1)
-                         - (ch[ord[p]].indel << 2);
+            int64_t ps = rt_i32(ch[ord[p]].sum_score
+                                + (rt_u32(ch[ord[p]].q_ed
+                                          - ch[ord[p]].q_st) << 1))
+                         - rt_i32(rt_u32(ch[ord[p]].indel) << 2);
             if (pt > kt || (pt == kt && ps < ks)) {
                 ord[p + 1] = ord[p];
                 p--;
@@ -767,7 +776,9 @@ int64_t sdp_match(uint64_t q_bg, uint64_t q_ed,
         while (hi < nrk && rkvals[hi] == tv) hi++;  /* runs are short */
         for (int64_t r = lo; r < hi; r++) {
             int64_t q_pos = rkpos[r];
-            if ((uint64_t)q_pos < q_bg || (uint64_t)q_pos > q_ed) continue;
+            /* filter 2 (src/cly.c:2251,2306): the C compares q_bg, not
+             * q_pos, to q_ed — q_ed only gates the window as a whole */
+            if ((uint64_t)q_pos < q_bg || q_bg > q_ed) continue;
             if (forward) {
                 int64_t back_len = mem_run(qbuf, lq, qbase + q_pos - 1,
                                            t_arr, lt, t0 + i - 1, 0, 4);
@@ -1120,7 +1131,9 @@ static int64_t ms_map_seed_core(const MsCtx *Cp, const uint8_t *buf,
             int64_t *row = rows + stride * (*n_io);
             row[0] = a_mtch; row[1] = a_score; row[2] = a_ll; row[3] = a_le;
             row[4] = a_rl; row[5] = a_re; row[6] = global_offset;
-            row[7] = ref_id; row[8] = global_offset - C.ref_off[ref_id];
+            row[7] = ref_id;
+            /* uint32: extensions crossing the ref start wrap */
+            row[8] = (global_offset - C.ref_off[ref_id]) & 0xFFFFFFFFll;
             row[9] = q_off + 1 - l_m_ext_l; row[10] = 0;
             *n_io += 1;
         }

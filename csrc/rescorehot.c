@@ -28,6 +28,16 @@ extern void get_ref_bases(const uint8_t *ref_bin, int64_t n_bases,
                           uint8_t *out);
 
 #define U32M 0xFFFFFFFFll
+
+/* the reference's SDP node loops run in uint32 (q/t positions wrap
+ * negative when a match over-reads the buffer head; derived bounds
+ * wrap back SMALL so predecessors still chain) — these mirror the
+ * gold oracle's _i32 / & U32 points exactly */
+static inline int64_t rf_u32v(int64_t x) { return x & U32M; }
+static inline int64_t rf_i32v(int64_t x) {
+    x &= U32M;
+    return x >= 0x80000000ll ? x - 0x100000000ll : x;
+}
 #define SMS_CAP 8192
 #define RF_NC_CAP 512
 
@@ -171,21 +181,21 @@ static int64_t rf_sdp_middle(RfCtx *c, const RChain *ch) {
             for (int64_t si = 1; si < c->n_sms; si++) {
                 int64_t *cs = c->sms + 4 * si;
                 int64_t max_score = cs[2];
-                int64_t max_q = cs[0] + 6;
-                int64_t max_t = cs[1] + 6;
+                int64_t max_q = rf_u32v(cs[0] + 6);
+                int64_t max_t = rf_u32v(cs[1] + 6);
                 for (int64_t pi = si - 1; pi >= 0; pi--) {
                     const int64_t *pre = c->sms + 4 * pi;
-                    int64_t pre_q_ed = pre[0] + pre[2] + c->k9 - 1;
-                    int64_t pre_t_ed = pre[1] + pre[2] + c->k9 - 1;
+                    int64_t pre_q_ed = rf_u32v(pre[0] + pre[2] + c->k9 - 1);
+                    int64_t pre_t_ed = rf_u32v(pre[1] + pre[2] + c->k9 - 1);
                     if (pre_q_ed > max_q) continue;
                     if (pre_t_ed > max_t) continue;
-                    int64_t indel = pre[0] - pre[1] - (max_q - max_t);
+                    int64_t indel = rf_i32v(pre[0] - pre[1] - (max_q - max_t));
                     int64_t ai = indel < 0 ? -indel : indel;
                     if (ai > 200) continue;
                     int64_t ns = pre[3] + cs[2] - (ai >> 3);
                     if (pre_q_ed > cs[0] || pre_t_ed > cs[1]) {
-                        int64_t o1 = pre_q_ed - cs[0];
-                        int64_t o2 = pre_t_ed - cs[1];
+                        int64_t o1 = rf_i32v(pre_q_ed - cs[0]);
+                        int64_t o2 = rf_i32v(pre_t_ed - cs[1]);
                         ns -= o1 > o2 ? o1 : o2;
                     }
                     if (ns > max_score) max_score = ns;
@@ -210,9 +220,9 @@ static int64_t rf_combine(RfCtx *c, RChain *chains, int64_t chain_id,
     for (int64_t e = sch_off[key]; e < sch_off[key + 1]; e++) {
         int64_t ci = sch_ci[e];
         RChain *ch = chains + ci;
-        int64_t dis_con = isleft ? ch->t_ed - ch->q_ed
-                                 : ch->t_st - ch->q_st;
-        int64_t q_pos_con = isleft ? ch->q_ed - c->k9 : ch->q_st;
+        int64_t dis_con = rf_i32v(isleft ? ch->t_ed - ch->q_ed
+                                         : ch->t_st - ch->q_st);
+        int64_t q_pos_con = rf_i32v(isleft ? ch->q_ed - c->k9 : ch->q_st);
         int64_t dq = c_q_pos - q_pos_con;
         if (dq < 0) dq = -dq;
         if (dis == dis_con && ci != chain_id
@@ -285,28 +295,29 @@ static int64_t rf_sdp_right(RfCtx *c, RChain *chains, int64_t nc,
             c_t_offset = (c_t_offset + max_search_ref - c->k9 - 3) & U32M;
             if (c->n_sms == current_sms) break;
             if (c->sms[4 * current_sms + 1]
-                    > c->sms[4 * max_sms_id + 1] + 1000)
+                    > rf_u32v(c->sms[4 * max_sms_id + 1] + 1000))
                 break;
         }
         int64_t *cs = c->sms + 4 * current_sms;
         current_sms += 1;
         int64_t max_score = cs[2];
-        int64_t max_pre_q = cs[0] + 6;
-        int64_t max_pre_t = cs[1] + 6;
+        int64_t max_pre_q = rf_u32v(cs[0] + 6);
+        int64_t max_pre_t = rf_u32v(cs[1] + 6);
         for (int64_t pi = current_sms - 2; pi >= 0; pi--) {
             const int64_t *pre = c->sms + 4 * pi;
-            int64_t pre_q_ed = pre[0] + pre[2] + c->k9 - 1;
-            int64_t pre_t_ed = pre[1] + pre[2] + c->k9 - 1;
+            int64_t pre_q_ed = rf_u32v(pre[0] + pre[2] + c->k9 - 1);
+            int64_t pre_t_ed = rf_u32v(pre[1] + pre[2] + c->k9 - 1);
             if (pre_q_ed > max_pre_q) continue;
             if (pre_t_ed > max_pre_t) continue;
-            if (pre[1] + 600 < max_pre_t) break;
-            int64_t indel = pre[0] - pre[1] - (max_pre_q - max_pre_t);
+            if (rf_u32v(pre[1] + 600) < max_pre_t) break;
+            int64_t indel = rf_i32v(pre[0] - pre[1]
+                                    - (max_pre_q - max_pre_t));
             int64_t ai = indel < 0 ? -indel : indel;
             if (ai > 200) continue;
             int64_t ns = pre[3] + cs[2] - (ai >> 3);
             if (pre_q_ed > cs[0] || pre_t_ed > cs[1]) {
-                int64_t o1 = pre_q_ed - cs[0];
-                int64_t o2 = pre_t_ed - cs[1];
+                int64_t o1 = rf_i32v(pre_q_ed - cs[0]);
+                int64_t o2 = rf_i32v(pre_t_ed - cs[1]);
                 ns -= o1 > o2 ? o1 : o2;
             }
             if (ns > max_score) max_score = ns;
@@ -318,7 +329,8 @@ static int64_t rf_sdp_right(RfCtx *c, RChain *chains, int64_t nc,
                row list object stays referenced) */
             int64_t cs2 = cs[2];
             int64_t comb = rf_combine(c, chains, chain_id, sch_ci, sch_se,
-                                      sch_off, cs[1] - cs[0], 0, cs[0]);
+                                      sch_off, rf_i32v(cs[1] - cs[0]), 0,
+                                      rf_i32v(cs[0]));
             if (comb >= 0) {
                 int64_t base = score_ori > max_score ? score_ori
                                                      : max_score;
@@ -341,7 +353,7 @@ static int64_t rf_sdp_right(RfCtx *c, RChain *chains, int64_t nc,
             total_max_score = max_score;
             max_sms_id = current_sms - 1;
         }
-        if (cs[1] > c->sms[4 * max_sms_id + 1] + 1000) break;
+        if (cs[1] > rf_u32v(c->sms[4 * max_sms_id + 1] + 1000)) break;
     }
     c_h->q_ed = (c->sms[4 * max_sms_id] + c->sms[4 * max_sms_id + 2]
                  + c->k9) & U32M;
@@ -406,27 +418,29 @@ static int64_t rf_sdp_left(RfCtx *c, RChain *chains, int64_t nc,
             if (c->overflow) return 0;
             c_t_offset = (c_t_offset - max_search_ref + c->k9 + 3) & U32M;
             if (c->n_sms == current_sms) break;
-            if (c->sms[4 * current_sms + 1] + 1000
+            if (rf_u32v(c->sms[4 * current_sms + 1] + 1000)
                     < c->sms[4 * max_sms_id + 1])
                 break;
         }
         int64_t *cs = c->sms + 4 * current_sms;
         current_sms += 1;
         int64_t max_score = cs[2];
-        int64_t min_pre_q = cs[0] + cs[2] - 6 + c->k9 - 1;
-        int64_t min_pre_t = cs[1] + cs[2] - 6 + c->k9 - 1;
+        int64_t min_pre_q = rf_u32v(cs[0] + cs[2] - 6 + c->k9 - 1);
+        int64_t min_pre_t = rf_u32v(cs[1] + cs[2] - 6 + c->k9 - 1);
         for (int64_t pi = current_sms - 2; pi >= 0; pi--) {
             const int64_t *pre = c->sms + 4 * pi;
             if (pre[0] < min_pre_q) continue;
             if (pre[1] < min_pre_t) continue;
-            if (min_pre_t + 600 < pre[1]) break;
-            int64_t indel = pre[0] - pre[1] - (min_pre_q - min_pre_t);
+            if (rf_u32v(min_pre_t + 600) < pre[1]) break;
+            int64_t indel = rf_i32v(pre[0] - pre[1]
+                                    - (min_pre_q - min_pre_t));
             int64_t ai = indel < 0 ? -indel : indel;
             if (ai > 200) continue;
             int64_t ns = pre[3] + cs[2] - (ai >> 3);
-            if (min_pre_q + 6 > pre[0] || min_pre_t + 6 > pre[1]) {
-                int64_t o1 = min_pre_q + 6 - pre[0];
-                int64_t o2 = min_pre_t + 6 - pre[1];
+            if (rf_u32v(min_pre_q + 6) > pre[0]
+                    || rf_u32v(min_pre_t + 6) > pre[1]) {
+                int64_t o1 = rf_i32v(min_pre_q + 6 - pre[0]);
+                int64_t o2 = rf_i32v(min_pre_t + 6 - pre[1]);
                 ns -= o1 > o2 ? o1 : o2;
             }
             if (ns > max_score) max_score = ns;
@@ -435,8 +449,8 @@ static int64_t rf_sdp_left(RfCtx *c, RChain *chains, int64_t nc,
         if (cs[2] >= 8) {
             int64_t cs2 = cs[2];
             int64_t comb = rf_combine(c, chains, chain_id, sch_ci, sch_se,
-                                      sch_off, cs[1] - cs[0], 1,
-                                      cs[0] + cs[2]);
+                                      sch_off, rf_i32v(cs[1] - cs[0]), 1,
+                                      rf_i32v(cs[0] + cs[2]));
             if (comb >= 0) {
                 int64_t base = score_ori > max_score ? score_ori
                                                      : max_score;
@@ -459,7 +473,7 @@ static int64_t rf_sdp_left(RfCtx *c, RChain *chains, int64_t nc,
             total_max_score = max_score;
             max_sms_id = current_sms - 1;
         }
-        if (cs[1] + 1000 < c->sms[4 * max_sms_id + 1]) break;
+        if (rf_u32v(cs[1] + 1000) < c->sms[4 * max_sms_id + 1]) break;
     }
     c_h->q_st = c->sms[4 * max_sms_id] & U32M;
     c_h->t_st = c->sms[4 * max_sms_id + 1] & U32M;
@@ -579,15 +593,16 @@ post:
             if (cc->ref_id == nx->ref_id) {
                 if (cc->direction != nx->direction) continue;
                 if (nx->sum_score == 0) continue;
-                if (nx->t_st < cc->t_st + 5 && nx->q_st < cc->q_st + 5
+                if (nx->t_st < rf_u32v(cc->t_st + 5)
+                        && nx->q_st < rf_u32v(cc->q_st + 5)
                         && nx->sum_score < cc->sum_score + 5) {
                     nx->sum_score = 0;
                     nx->q_ed = nx->q_st;
                     nx->t_ed = nx->t_st;
                     continue;
                 }
-                int64_t dis_t = nx->t_st - cc->t_ed;
-                int64_t dis_q = nx->q_st - cc->q_ed;
+                int64_t dis_t = rf_i32v(nx->t_st - cc->t_ed);
+                int64_t dis_q = rf_i32v(nx->q_st - cc->q_ed);
                 int64_t dd = dis_t - dis_q;
                 if (dd < 0) dd = -dd;
                 if (-20 < dis_t && dis_t < 1000 && -20 < dis_q
@@ -607,19 +622,19 @@ post:
     /* adaptive filters (src/cly.c:2874-2986) */
     if (C.eff_max_read_l < 510) {
         for (int64_t i = 0; i < nc; i++)
-            if (ch[i].sum_score + ((ch[i].q_ed - ch[i].q_st) >> 5) < C.f2g)
+            if (ch[i].sum_score + (rf_u32v(ch[i].q_ed - ch[i].q_st) >> 5) < C.f2g)
                 ch[i].sum_score = 0;
     } else if (C.read_len < 310) {
         for (int64_t i = 0; i < nc; i++)
-            if (ch[i].sum_score + ((ch[i].q_ed - ch[i].q_st) >> 5)
+            if (ch[i].sum_score + (rf_u32v(ch[i].q_ed - ch[i].q_st) >> 5)
                     < C.f3g_short)
                 ch[i].sum_score = 0;
     } else {
         for (int64_t i = 0; i < nc; i++) {
             int64_t sc = ch[i].sum_score
-                         + ((ch[i].q_ed - ch[i].q_st) >> 5);
+                         + (rf_u32v(ch[i].q_ed - ch[i].q_st) >> 5);
             if (sc < C.filter_lv3
-                    && (ch[i].q_ed - ch[i].q_st < C.filter_min_length
+                    && (rf_u32v(ch[i].q_ed - ch[i].q_st) < C.filter_min_length
                         || sc < C.filter_min_score))
                 ch[i].sum_score = 0;
         }

@@ -26,8 +26,18 @@ from ...constants import (
 )
 
 I32 = jnp.int32
+U32 = jnp.uint32
 
 C2 = 16   # chain slots during insertion (demo max 7; overflow -> host)
+
+
+def _absu(a, b):
+    """ABS_U on uint32 values carried as int32 bit patterns
+    (src/cly.c ABS_U): unsigned compare + unsigned diff. An anchor
+    whose extension crossed the reference start carries a wrapped-huge
+    ref_offset; treating it as signed would collapse the distance."""
+    au, bu = a.astype(U32), b.astype(U32)
+    return jnp.where(au > bu, au - bu, bu - au).astype(I32)
 
 # anchor input record
 AF2 = 7
@@ -76,7 +86,8 @@ def chain_kernel(anc, n_anc):
              & (ch[:, :, H_DIR] == row[:, A_DIR, None])
              & (ch[:, :, H_REF] == row[:, A_REF, None])
              & (jnp.abs(dis[:, None] - ch[:, :, H_QTD]) < MAX_DIS_MINUS)
-             & (jnp.abs(ch[:, :, H_TED] - roff[:, None]) < MAX_WAITING_LEN))
+             & (_absu(ch[:, :, H_TED], roff[:, None])
+                < MAX_WAITING_LEN))
         has = m.any(axis=1)
         first = jnp.argmax(m, axis=1).astype(I32)  # first True
         do_new = valid & ~has & (nch < C2)
@@ -97,7 +108,10 @@ def chain_kernel(anc, n_anc):
             old[:, H_REF], dis, old[:, H_SUM] + score,
             old[:, H_ANUM] + 1, old[:, H_DIR],
             old[:, H_TOP] | not_useless.astype(I32),
-            old[:, H_TST], jnp.maximum(ref_r, old[:, H_TED]),
+            old[:, H_TST],
+            # uint32 MAX (wrapped t_ed is huge, not negative)
+            jnp.maximum(ref_r.astype(U32),
+                        old[:, H_TED].astype(U32)).astype(I32),
             old[:, H_QST], read_r, old[:, H_INDEL] + dis_minus,
             jnp.full((B,), a, I32), old[:, H_CID]], axis=1)
         skip_rec = old.at[:, H_TOP].set(old[:, H_TOP]

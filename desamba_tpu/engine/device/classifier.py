@@ -570,12 +570,9 @@ class DeviceClassifier:
 
         # ---- host finish, in input order ----------------------------------
         def coord(v):
-            # undo the kernel's uint32-wrap surrogate (T_BIAS) so the
-            # gold finish code sees the reference's exact ints
-            v = int(v)
-            if v >= dr.T_BIAS:
-                return v - dr.T_BIAS + (1 << 32)
-            return v & 0xFFFFFFFF if v < 0 else v
+            # kernel coordinates are uint32 bit patterns in int32; gold's
+            # finish code works in the masked-u32 domain
+            return int(v) & 0xFFFFFFFF
 
         from ..gold.rescore import post_finish_native
         for k, i in enumerate(todo):

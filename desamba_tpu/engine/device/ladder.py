@@ -23,6 +23,7 @@ from ...constants import (
     PRE_IDX_MASK,
 )
 from . import fm as dev_fm
+from .compaction import compact_rows
 from .mapseed import A_NF, IndexRefs, map_seed_lanes
 from .textwalk import pack2
 
@@ -64,11 +65,10 @@ def _compact(full_tree, rows_g):
 
 
 def _scatter(full_tree, comp_tree, rows_s):
-    def scat(full, comp):
-        ext = jnp.concatenate([full, full[:1]], axis=0)
-        return ext.at[rows_s].set(comp)[:full.shape[0]]
-
-    return jax.tree.map(scat, full_tree, comp_tree)
+    # empty compact slots carry index N (out of bounds) and are dropped
+    # by jax scatter semantics — see compaction.scatter_rows
+    return jax.tree.map(lambda f, c: f.at[rows_s].set(c),
+                        full_tree, comp_tree)
 
 
 @functools.partial(jax.jit,
@@ -106,10 +106,7 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
 
     def body(st):
         active, j, spset, spcount, anchors, a_cnt, skip_flag = st
-        key = jnp.where(active, N - jnp.arange(N, dtype=I32), 0)
-        keyv, rws = jax.lax.top_k(key, bl)
-        valid = keyv > 0
-        rg = jnp.where(valid, rws, 0).astype(I32)
+        rg, rows_s, valid = compact_rows(active, bl)
         full = (active, j, spset, spcount, anchors, a_cnt, skip_flag,
                 ridx, base, read_len, direction, sid, seed_off)
         (act_c, j_c, sps_c, spc_c, an_c, ac_c, skip_c, ridx_c, base_c,
@@ -156,7 +153,6 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
         skip_c = skip_c | (act_c & (max_score > 512))
         act2_c = act_c & ~brk & (j2 >= min_index)
 
-        rows_s = jnp.where(valid, rws, N).astype(I32)
         mut_full = (active, j, spset, spcount, anchors, a_cnt, skip_flag)
         mut_comp = (act2_c, j2, sps_c, spc_c, an_c, ac_c, skip_c)
         return _scatter(mut_full, mut_comp, rows_s)
@@ -199,10 +195,7 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
 
     def body(st):
         active, j, spset, spcount, mems, m_cnt = st
-        key = jnp.where(active, N - jnp.arange(N, dtype=I32), 0)
-        keyv, rws = jax.lax.top_k(key, bl)
-        valid = keyv > 0
-        rg = jnp.where(valid, rws, 0).astype(I32)
+        rg, rows_s, valid = compact_rows(active, bl)
         full = (active, j, spset, spcount, mems, m_cnt,
                 ridx, base, seed_off)
         (act_c, j_c, sps_c, spc_c, mem_c, mc_c, ridx_c, base_c,
@@ -239,7 +232,6 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
         j2 = jnp.where(act_c, j_c - 2, j_c)
         act2_c = act_c & (j2 >= 1)
 
-        rows_s = jnp.where(valid, rws, N).astype(I32)
         mut_full = (active, j, spset, spcount, mems, m_cnt)
         mut_comp = (act2_c, j2, sps_c, spc_c, mem_c, mc_c)
         return _scatter(mut_full, mut_comp, rows_s)

@@ -24,6 +24,7 @@ Modes: 0 done, 1 next-chain, 2 middle, 3 right, 4 left, 5 combine-middle.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -31,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...constants import MIN_SCORE_MEM, OVER_SEARCH_M2, S_A_KMER_L
+from .compaction import compact_cols, compact_rows, gather_rows, scatter_rows
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -47,13 +49,17 @@ W_CAP = 704      # window chars incl. 50-pad
 
 M_DONE, M_NEXT, M_MID, M_RIGHT, M_LEFT = 0, 1, 2, 3, 4
 
-# Surrogate for the reference's uint32 wrap on t coordinates: gold keeps
-# wrapped values as huge python ints (~2^32). Using +2^30 instead keeps
-# them in int32 while preserving every comparison the walk makes (both
-# are far above any real coordinate, congruent mod 256, and gathers at
-# either offset clamp identically). The host maps >= T_BIAS back to the
-# exact 2^32-wrapped value before the gold finish code runs.
-T_BIAS = 1 << 30
+# trace-time cost-attribution switches (timing experiments ONLY — output
+# is wrong while set): DESAMBA_RESCORE_ABLATE=probes,runlen,window,...
+_ABLATE = frozenset(
+    x for x in os.environ.get("DESAMBA_RESCORE_ABLATE", "").split(",") if x)
+
+# uint32 coordinates are carried as int32 BIT PATTERNS: wrapped values
+# (a match crossing the read head / reference start) are negative ints
+# whose u32 reinterpretation equals the reference's uint32. int32 adds
+# are bit-equivalent to uint32 adds; ORDER comparisons go through
+# .astype(U32) at exactly the points the C compares unsigned. The host
+# maps a chain field back to gold's u32 domain with `value & 0xFFFFFFFF`.
 
 # chain record fields
 CF = ("ref_id", "direction", "sum_score", "anchor_number", "t_st", "t_ed",
@@ -228,11 +234,13 @@ def _run_len2(codes_pk, buf_len, rows, qstart, win_pk, win_len, wstart,
         s = s | (s >> 16)
         m_bwd = 16 - _popc(s & U32(0x55555555))
         m = jnp.where(fwd, m_fwd, m_bwd)
-        # chars available from qi to the boundary; a start already out of
-        # bounds (forward qi<0, backward qi>=len) yields 0 like the
-        # per-char break it replaces
+        # chars available from qi to the boundary. Forward past the
+        # buffer end mismatches; backward runs may cross BELOW q=0 and
+        # compare as char 0 (_word16 zero-fills below base 0 — the
+        # reference walks into glibc chunk-header 0x00 bytes there, see
+        # gold rescore._mem_q), so only the cap bounds them.
         q_remain = jnp.where(fwd, jnp.where(qi >= 0, blen - qi, 0),
-                             jnp.where(qi < blen, qi + 1, 0))
+                             jnp.where(qi < blen, jnp.int32(1 << 30), 0))
         w_remain = jnp.where(fwd, jnp.where(wi >= 0, wlen - wi, 0),
                              jnp.where(wi < wlen, wi + 1, 0))
         lim = jnp.maximum(
@@ -369,12 +377,12 @@ def _proc_micro(st: VMState, inp: RescoreIn, rows=None):
     # ---- M_NEXT: advance to the next unscored chain -----------------------
     m_next = (st.mode == M_NEXT) & ~st.need_fetch
     nci = st.chain_i + 1
-    # scan forward over fixed C_CAP slots for the next sum_score != 0
-    pick = jnp.full((B,), C_CAP, I32)
-    for s in range(C_CAP - 1, -1, -1):
-        cand_ok = (s >= nci) & (s < n_chains) & (
-            chains[:, s, C_SUM] != 0)
-        pick = jnp.where(cand_ok, s, pick)
+    # first slot >= nci with sum_score != 0 (vectorized over C_CAP)
+    slots_c = jnp.arange(C_CAP, dtype=I32)[None, :]
+    cand_ok = ((slots_c >= nci[:, None]) & (slots_c < n_chains[:, None])
+               & (chains[:, :, C_SUM] != 0))
+    pick = jnp.where(cand_ok.any(axis=1),
+                     jnp.argmax(cand_ok, axis=1).astype(I32), C_CAP)
     done = m_next & (pick >= n_chains)
     start = m_next & ~done
     ci2 = jnp.where(m_next, pick, st.chain_i)
@@ -460,28 +468,32 @@ def _proc_micro(st: VMState, inp: RescoreIn, rows=None):
     prior = slots < st.cur_sms[:, None]
     pq, pt, plen, pscore = (sms[:, :, 0], sms[:, :, 1], sms[:, :, 2],
                             sms[:, :, 3])
-    # right/mid formulas
+    # right/mid formulas. Adds wrap like the C's uint32 (int32 bit
+    # equivalence); ORDER comparisons are unsigned (see module header) —
+    # a wrapped node's bounds wrap back SMALL so predecessors still chain
+    u = lambda x: x.astype(U32)
     max_q = (c[:, 0] + 6)[:, None]
     max_t = (c[:, 1] + 6)[:, None]
     pre_q_ed = pq + plen + K9 - 1
     pre_t_ed = pt + plen + K9 - 1
-    okA = (pre_q_ed <= max_q) & (pre_t_ed <= max_t)
-    brkA = (pt + 600) < max_t     # right only
+    okA = (u(pre_q_ed) <= u(max_q)) & (u(pre_t_ed) <= u(max_t))
+    brkA = u(pt + 600) < u(max_t)     # right only
     indelA = pq - pt - (max_q - max_t)
     ovA = jnp.maximum(pre_q_ed - c[:, 0][:, None], pre_t_ed - c[:, 1][:, None])
     newA = pscore + c[:, 2][:, None] - (jnp.abs(indelA) >> 3)
-    newA = newA - jnp.where((pre_q_ed > c[:, 0][:, None])
-                            | (pre_t_ed > c[:, 1][:, None]),
+    newA = newA - jnp.where((u(pre_q_ed) > u(c[:, 0][:, None]))
+                            | (u(pre_t_ed) > u(c[:, 1][:, None])),
                             ovA, 0)
     # left formulas
     min_q = (c[:, 0] + c[:, 2] - 6 + K9 - 1)[:, None]
     min_t = (c[:, 1] + c[:, 2] - 6 + K9 - 1)[:, None]
-    okB = (pq >= min_q) & (pt >= min_t)
-    brkB = (min_t + 600) < pt
+    okB = (u(pq) >= u(min_q)) & (u(pt) >= u(min_t))
+    brkB = u(min_t + 600) < u(pt)
     indelB = pq - pt - (min_q - min_t)
     ovB = jnp.maximum(min_q + 6 - pq, min_t + 6 - pt)
     newB = pscore + c[:, 2][:, None] - (jnp.abs(indelB) >> 3)
-    newB = newB - jnp.where((min_q + 6 > pq) | (min_t + 6 > pt), ovB, 0)
+    newB = newB - jnp.where((u(min_q + 6) > u(pq))
+                            | (u(min_t + 6) > u(pt)), ovB, 0)
 
     ok = jnp.where(is_left[:, None], okB, okA)
     brk = jnp.where(is_left[:, None], brkB, brkA) & ~is_mid[:, None]
@@ -493,6 +505,8 @@ def _proc_micro(st: VMState, inp: RescoreIn, rows=None):
     consider = prior & ok & indel_ok & (slots > brk_slot[:, None])
     node_max = jnp.maximum(
         c[:, 2], jnp.max(jnp.where(consider, new, -(1 << 30)), axis=1))
+    if "node" in _ABLATE:
+        node_max = c[:, 2] + 1
     sms = sms.at[lanes, cs, 3].set(jnp.where(proc, node_max, c[:, 3]))
     st = st._replace(sms=sms, cur_sms=jnp.where(proc, st.cur_sms + 1,
                                                 st.cur_sms))
@@ -508,28 +522,34 @@ def _proc_micro(st: VMState, inp: RescoreIn, rows=None):
     c_q_pos = jnp.where(is_left, c[:, 0] + c[:, 2], c[:, 0])
     ch = st.chains
     ci = jnp.clip(st.chain_i, 0, C_CAP - 1)
-    found = jnp.zeros((B,), bool)
-    found_ci = jnp.zeros((B,), I32)
-    for e in range(2 * C_CAP):
-        ent = inp.schash[rows, e]  # [key, eci, s_or_e]
-        eci = jnp.clip(ent[:, 1], 0, C_CAP - 1)
-        dis_con = jnp.where(is_left,
-                            ch[lanes, eci, C_TED] - ch[lanes, eci, C_QED],
-                            ch[lanes, eci, C_TST] - ch[lanes, eci, C_QST])
-        q_pos_con = jnp.where(is_left, ch[lanes, eci, C_QED] - K9,
-                              ch[lanes, eci, C_QST])
-        okc = (do_comb & ~found & (e < n_hash)
-               & (ent[:, 0] == (dis & 0xFF))
-               & (dis == dis_con)
-               & (ent[:, 1] != st.chain_i)
-               & (jnp.where(is_left, 1, 0) != ent[:, 2])
-               & (jnp.abs(c_q_pos - q_pos_con) < 8)
-               & (ch[lanes, eci, C_REF] == ch[lanes, ci, C_REF])
-               & (ch[lanes, eci, C_DIR] == ch[lanes, ci, C_DIR])
-               & (ch[lanes, eci, C_SUM] != 0)
-               & (ent[:, 1] > st.chain_i))
-        found_ci = jnp.where(okc, ent[:, 1], found_ci)
-        found = found | okc
+    # vectorized over the 2*C_CAP hash entries; the original sequential
+    # `~found` chain == taking the FIRST matching entry (conditions are
+    # found-independent), so argmax over the match mask reproduces it
+    ents = inp.schash[rows]                       # (B, 2C, 3)
+    eci_a = jnp.clip(ents[:, :, 1], 0, C_CAP - 1)  # (B, 2C)
+    l2 = lanes[:, None]
+    dis_con = jnp.where(is_left[:, None],
+                        ch[l2, eci_a, C_TED] - ch[l2, eci_a, C_QED],
+                        ch[l2, eci_a, C_TST] - ch[l2, eci_a, C_QST])
+    q_pos_con = jnp.where(is_left[:, None], ch[l2, eci_a, C_QED] - K9,
+                          ch[l2, eci_a, C_QST])
+    e_ar = jnp.arange(2 * C_CAP, dtype=I32)[None, :]
+    okc = (do_comb[:, None] & (e_ar < n_hash[:, None])
+           & (ents[:, :, 0] == (dis & 0xFF)[:, None])
+           & (dis[:, None] == dis_con)
+           & (ents[:, :, 1] != st.chain_i[:, None])
+           & (jnp.where(is_left, 1, 0)[:, None] != ents[:, :, 2])
+           & (jnp.abs(c_q_pos[:, None] - q_pos_con) < 8)
+           & (ch[l2, eci_a, C_REF] == ch[lanes, ci, C_REF][:, None])
+           & (ch[l2, eci_a, C_DIR] == ch[lanes, ci, C_DIR][:, None])
+           & (ch[l2, eci_a, C_SUM] != 0)
+           & (ents[:, :, 1] > st.chain_i[:, None]))
+    found = okc.any(axis=1)
+    first_e = jnp.argmax(okc, axis=1)
+    found_ci = jnp.where(found, ents[lanes, first_e, 1], 0)
+    if "combine" in _ABLATE:
+        found = jnp.zeros((B,), bool)
+        found_ci = jnp.zeros((B,), I32)
     # absorb
     aci = jnp.clip(found_ci, 0, C_CAP - 1)
     for fld, red in ((C_SUM, "add"), (C_ANUM, "add"), (C_INDEL, "add"),
@@ -564,8 +584,9 @@ def _proc_micro(st: VMState, inp: RescoreIn, rows=None):
         side_total=jnp.where(upd, node_max, st.side_total),
         max_id=jnp.where(upd, st.cur_sms - 1, st.max_id))
     best_t = st.sms[lanes, jnp.clip(st.max_id, 0, S_CAP - 1), 1]
-    brk_now = rest & jnp.where(is_left, c[:, 1] + 1000 < best_t,
-                               c[:, 1] > best_t + 1000)
+    brk_now = rest & jnp.where(
+        is_left, (c[:, 1] + 1000).astype(U32) < best_t.astype(U32),
+        c[:, 1].astype(U32) > (best_t + 1000).astype(U32))
     st = _side_complete(st, brk_now, lanes)
     return st
 
@@ -584,23 +605,14 @@ def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, codes_pk, ref_bin,
     B = st.mode.shape[0]
     bf = min(bf, B)
     act_full = st.need_fetch & ~st.fallback & (st.mode >= M_MID)
-    key = jnp.where(act_full, B - jnp.arange(B, dtype=I32), 0)
-    keyv, rows = jax.lax.top_k(key, bf)
-    valid = keyv > 0
-    rows_g = jnp.where(valid, rows, 0).astype(I32)
-    st_c = jax.tree.map(lambda f: f[rows_g], st)
+    rows_g, rows_s, valid = compact_rows(act_full, bf)
+    st_c = gather_rows(st, rows_g)
     # make invalid compact slots inert inside the body
     st_c = st_c._replace(need_fetch=st_c.need_fetch & valid,
                          fallback=st_c.fallback | ~valid)
     out_c = _fetch_body(st_c, rows_g, inp, rk_tables, codes_pk, ref_bin,
                         ref_off, ref_len_arr, n_bases)
-    rows_s = jnp.where(valid, rows, B).astype(I32)
-
-    def scat(full, comp):
-        ext = jnp.concatenate([full, full[:1]], axis=0)
-        return ext.at[rows_s].set(comp)[:B]
-
-    return jax.tree.map(scat, st, out_c)
+    return scatter_rows(st, out_c, rows_s)
 
 
 def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
@@ -632,8 +644,8 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
     near_end_r = (l_read - q_ed_c) < 600
     brk_r = brk_r | (act & is_r & ~brk_r & near_end_r & st.last_search)
     # ---- LEFT pre-checks ---------------------------------------------------
-    brk_l = act & is_l & (st.c_t_off < MIN_SCORE_MEM)
-    near_end_l = q_st_c < 600
+    brk_l = act & is_l & (st.c_t_off.astype(U32) < U32(MIN_SCORE_MEM))
+    near_end_l = q_st_c.astype(U32) < U32(600)
     brk_l = brk_l | (act & is_l & ~brk_l & near_end_l & st.last_search)
     st = _side_complete(st, brk_r | brk_l, lanes)
     act = act & ~(brk_r | brk_l)
@@ -643,7 +655,15 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
 
     msr_r = jnp.where(near_end_r, l_read - q_ed_c + 60, t_length - st.c_t_off)
     msr_l = jnp.where(near_end_l, q_st_c + 60, st.c_t_off)
-    msr = jnp.minimum(600, jnp.where(is_r, msr_r, msr_l))
+    # MIN(600, uint32): wrapped-huge values cap at 600
+    msr = jnp.minimum(U32(600),
+                      jnp.where(is_r, msr_r, msr_l).astype(U32)).astype(I32)
+    # a window whose cursor wrapped below the ref start reads unowned
+    # memory in the reference (u64 address arithmetic) — punt to host
+    fwrap = act & ~is_mid & (st.c_t_off < 0)
+    st = st._replace(fallback=st.fallback | fwrap,
+                     fb_reason=st.fb_reason | jnp.where(fwrap, 2, 0))
+    act = act & ~fwrap
 
     # ---- MID gap geometry --------------------------------------------------
     mc = jnp.clip(st.mid_cur, 0, A_CAP - 1)
@@ -669,7 +689,10 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
         jnp.where(is_r, st.c_t_off + t_glob,
                   jnp.where(bug_l, st.c_t_off + t_glob - msr,
                             st.c_t_off + t_glob - msr - OVER_SEARCH_M2)))
-    win = _ref_chars(ref_bin, n_bases, goff, W_CAP)
+    if "window" in _ABLATE:
+        win = jnp.zeros((B, W_CAP), jnp.uint8)
+    else:
+        win = _ref_chars(ref_bin, n_bases, goff, W_CAP)
     # bug branch: window chars sit at [0:msr], zero-filled to msr+50
     wpos = jnp.arange(W_CAP, dtype=I32)[None, :]
     win = jnp.where(bug_l[:, None] & (wpos >= msr[:, None]), 0, win)
@@ -678,7 +701,6 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
     # matching is offset by +50 into the zero region (reference bug kept)
     t_st = jnp.where(is_mid, pre_roff3 + pre_a[:, 2],
                      jnp.where(is_r, st.c_t_off, st.c_t_off - msr))
-    t_st = t_st + jnp.where(t_st < 0, T_BIAS, 0)  # uint32-wrap surrogate
 
     # ---- q bounds ----------------------------------------------------------
     best_q = st.sms[lanes, jnp.clip(st.max_id, 0, S_CAP - 1), 0]
@@ -712,18 +734,22 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
     rkv, rkp, rkc = rk_tables
     K_rk = rkv.shape[2]
     rkn = jnp.where(l_read >= K9, l_read - K9 + 1, 0)
-    lo = _searchsorted_rows(rkv, dslot, rkn, pv, True, row_map=rows,
-                            coarse=rkc)
-    # hi via forward scan: multiplicities are tiny (<= H_CAP), so H_CAP+1
-    # gathers beat a second 14-step binary search
-    run_eq = jnp.ones(lo.shape, bool)
-    cnt = jnp.zeros(lo.shape, I32)
-    for k in range(H_CAP + 1):
-        v = rkv[rows[:, None], dslot[:, None],
-                jnp.clip(lo + k, 0, K_rk - 1)]
-        run_eq = run_eq & (lo + k < rkn[:, None]) & (v == pv)
-        cnt = cnt + run_eq.astype(I32)
-    hi = lo + cnt
+    if "probes" in _ABLATE:
+        lo = jnp.zeros(pv.shape, I32)
+        hi = jnp.zeros(pv.shape, I32)
+    else:
+        lo = _searchsorted_rows(rkv, dslot, rkn, pv, True, row_map=rows,
+                                coarse=rkc)
+        # hi via forward scan: multiplicities are tiny (<= H_CAP), so
+        # H_CAP+1 gathers beat a second 14-step binary search
+        run_eq = jnp.ones(lo.shape, bool)
+        cnt = jnp.zeros(lo.shape, I32)
+        for k in range(H_CAP + 1):
+            v = rkv[rows[:, None], dslot[:, None],
+                    jnp.clip(lo + k, 0, K_rk - 1)]
+            run_eq = run_eq & (lo + k < rkn[:, None]) & (v == pv)
+            cnt = cnt + run_eq.astype(I32)
+        hi = lo + cnt
     f3 = (p_on & (cnt > H_CAP)).any(axis=1)
     st = st._replace(fallback=st.fallback | f3,
                      fb_reason=st.fb_reason | jnp.where(f3, 4, 0))
@@ -737,8 +763,10 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
     qpos = rkp[rows[:, None, None], dslot[:, None, None],
                jnp.clip(lo[:, :, None] + hidx, 0, K_rk - 1)]
     qpos_u = qpos.astype(U32)
+    # filter 2 (src/cly.c:2251,2306): the reference compares q_bg, not
+    # q_pos, to q_ed — q_ed only gates the window as a whole
     cand_ok = cand_ok & (qpos_u >= q_bg[:, None, None].astype(U32)) \
-        & (qpos_u <= q_ed[:, None, None].astype(U32))
+        & (q_bg.astype(U32) <= q_ed.astype(U32))[:, None, None]
     NC = P_CAP * H_CAP
     cand_ok = cand_ok.reshape(B, NC)
     qpos = qpos.reshape(B, NC)
@@ -748,9 +776,7 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
     qbase = jnp.where(chain_dir == 1, 0, l_read)[:, None]
 
     # stage 1: compact valid candidates to CF_CAP slots (slot order kept)
-    slot_nc = jnp.arange(NC, dtype=I32)[None, :]
-    keyc, idxc = jax.lax.top_k(jnp.where(cand_ok, NC - slot_nc, 0), CF_CAP)
-    c_on = keyc > 0
+    idxc, c_on = compact_cols(cand_ok, CF_CAP)
     f4a = jnp.sum(cand_ok, axis=1) > CF_CAP
     g1 = lambda x: jnp.take_along_axis(x, idxc, axis=1)
     c_qpos = g1(qpos)
@@ -762,15 +788,15 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
     sq = jnp.where(is_l[:, None], qbase + c_qpos + K9, qbase + c_qpos - 1)
     sw = jnp.where(is_l[:, None], t0[:, None] + c_tp + K9,
                    t0[:, None] + c_tp - 1)
-    short = _run_len2(codes_pk, inp.buf_len, rows, sq, win_pk, win_len,
-                      sw, sstep, jnp.full((B, CF_CAP), 4, I32), c_on)
+    if "runlen" in _ABLATE:
+        short = jnp.zeros((B, CF_CAP), I32)
+    else:
+        short = _run_len2(codes_pk, inp.buf_len, rows, sq, win_pk, win_len,
+                          sw, sstep, jnp.full((B, CF_CAP), 4, I32), c_on)
     lead_ok = c_on & ((short < 4) | (c_iv == 4))
 
     # stage 2: compact leftmost survivors to F_CAP for the long run
-    slot_cf = jnp.arange(CF_CAP, dtype=I32)[None, :]
-    keyl, idxl = jax.lax.top_k(jnp.where(lead_ok, CF_CAP - slot_cf, 0),
-                               F_CAP)
-    f_ok = keyl > 0
+    idxl, f_ok = compact_cols(lead_ok, F_CAP)
     f4 = f4a | (jnp.sum(lead_ok, axis=1) > F_CAP)
     st = st._replace(fallback=st.fallback | f4,
                      fb_reason=st.fb_reason | jnp.where(f4, 8, 0))
@@ -788,19 +814,19 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
     lq = jnp.where(is_l[:, None], qbase + f_qpos - 1, qbase + f_qpos + K9)
     lw = jnp.where(is_l[:, None], t0[:, None] + f_tpos - 1,
                    t0[:, None] + f_tpos + K9)
-    longr = _run_len2(codes_pk, inp.buf_len, rows, lq, win_pk, win_len,
-                      lw, lstep, long_cap, f_ok)
+    if "runlen" in _ABLATE:
+        longr = jnp.zeros((B, F_CAP), I32)
+    else:
+        longr = _run_len2(codes_pk, inp.buf_len, rows, lq, win_pk, win_len,
+                          lw, lstep, long_cap, f_ok)
     back = jnp.where(is_l[:, None], longr, f_short)
     fwd = jnp.where(is_l[:, None], f_short, longr)
     total = back + fwd + 1
     emit = f_ok & (total >= 4)
-    # gold appends (q - back) & U32 and (tpos - back + t_st) & U32: the
-    # biased t_st can wrap BACK into normal coordinates (>= 2^32 in gold,
-    # >= T_BIAS here); negative q wraps huge (+T_BIAS here)
+    # gold appends (q - back) & U32 and (tpos - back + t_st) & U32; raw
+    # int32 bit patterns carry exactly those uint32 values
     node_q = f_qpos - back
-    node_q = jnp.where(node_q < 0, node_q + T_BIAS, node_q)
     node_t = f_tpos - back + t_st[:, None]
-    node_t = jnp.where(node_t >= T_BIAS, node_t - T_BIAS, node_t)
 
     # append to sms in order (gold clears sms per middle gap: matches
     # start at slot 1 there, after node0)
@@ -841,7 +867,6 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
 
     # advance window cursor (left may wrap below 0: surrogate bias)
     ct2 = jnp.where(is_r, st.c_t_off + msr - K9 - 3, st.c_t_off - msr + K9 + 3)
-    ct2 = ct2 + jnp.where(ct2 < 0, T_BIAS, 0)
     st = st._replace(c_t_off=jnp.where(act & ~is_mid, ct2, st.c_t_off))
 
     # side post-fetch checks
@@ -850,8 +875,8 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
     first_new = sms[lanes, jnp.clip(st.cur_sms, 0, S_CAP - 1)]
     best_t = sms[lanes, jnp.clip(st.max_id, 0, S_CAP - 1), 1]
     far = side_act & ~no_new & jnp.where(
-        is_l, first_new[:, 1] + 1000 < best_t,
-        first_new[:, 1] > best_t + 1000)
+        is_l, (first_new[:, 1] + 1000).astype(U32) < best_t.astype(U32),
+        first_new[:, 1].astype(U32) > (best_t + 1000).astype(U32))
     st = _side_complete(st, no_new | far, lanes)
     # lanes that fetched and continue clear the flag; lanes that broke got
     # their flag from _side_complete (True when entering the left side)
@@ -903,21 +928,12 @@ def rescore_kernel(inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
         # micro-steps at width bp; the rest are untouched by micro-steps
         # (fetch-waiting lanes idle, unselected ready lanes run later)
         ready = (st.mode != M_DONE) & ~st.fallback & ~st.need_fetch
-        key = jnp.where(ready, B - jnp.arange(B, dtype=I32), 0)
-        keyv, prows = jax.lax.top_k(key, bp)
-        pvalid = keyv > 0
-        prows_g = jnp.where(pvalid, prows, 0).astype(I32)
-        st_c = jax.tree.map(lambda f: f[prows_g], st)
+        prows_g, prows_s, pvalid = compact_rows(ready, bp)
+        st_c = gather_rows(st, prows_g)
         st_c = st_c._replace(fallback=st_c.fallback | ~pvalid)
         st_c = jax.lax.fori_loop(
             0, pp, lambda _k, s: _proc_micro(s, inp, prows_g), st_c)
-        prows_s = jnp.where(pvalid, prows, B).astype(I32)
-
-        def scat(full, comp):
-            ext = jnp.concatenate([full, full[:1]], axis=0)
-            return ext.at[prows_s].set(comp)[:B]
-
-        st = jax.tree.map(scat, st, st_c)
+        st = scatter_rows(st, st_c, prows_s)
         st = _fetch_step(st, inp, rk_tables, codes_pk, ref_bin, ref_off,
                          ref_len_arr, n_bases, bf)
         return it + 1, st

@@ -19,6 +19,16 @@ from ...constants import (
     MAX_WAITING_LEN,
 )
 
+U32 = 0xFFFFFFFF
+
+
+def _i32(x: int) -> int:
+    """C: uint32 expression assigned/compared as signed int (see
+    gold/rescore._i32 — anchors can carry wrapped ref_offset when an
+    extension crosses the reference start, e.g. 2^32-2)."""
+    x &= U32
+    return x - (1 << 32) if x >= (1 << 31) else x
+
 
 @dataclass
 class Chain:
@@ -47,7 +57,7 @@ class Chain:
 def _insert_meta(anchor, c: Chain, new_chain: bool, dis_minus: int):
     """src/cly.c:72-112."""
     ref_l = anchor.ref_offset
-    ref_r = ref_l + anchor.mtch_len
+    ref_r = (ref_l + anchor.mtch_len) & U32
     read_l = anchor.index_in_read
     read_r = read_l + anchor.mtch_len
     if new_chain:
@@ -55,7 +65,7 @@ def _insert_meta(anchor, c: Chain, new_chain: bool, dis_minus: int):
         anchor.chain_anchor_pre = None
         c.ref_id = anchor.ref_id
         c.direction = anchor.direction
-        c.q_t_dis = anchor.ref_offset - anchor.index_in_read
+        c.q_t_dis = _i32(anchor.ref_offset - anchor.index_in_read)
         c.t_st, c.t_ed = ref_l, ref_r
         c.q_st, c.q_ed = read_l, read_r
         c.with_top_anchor = not anchor.anchor_useless
@@ -72,7 +82,7 @@ def _insert_meta(anchor, c: Chain, new_chain: bool, dis_minus: int):
         c.q_ed = read_r
         anchor.chain_anchor_pre = c.chain_anchor_cur
         c.chain_anchor_cur = anchor
-        c.q_t_dis = anchor.ref_offset - anchor.index_in_read
+        c.q_t_dis = _i32(anchor.ref_offset - anchor.index_in_read)
         c.indel += dis_minus
         c.anchor_number += 1
         c.sum_score += 1 if anchor.duplicate else anchor.score
@@ -86,7 +96,7 @@ def _new_chain(chains: list) -> Chain:
 
 def chain_insert_m2(anchor, chains: list):
     """Linear scan insert (src/cly.c:201-224)."""
-    dis = anchor.ref_offset - anchor.index_in_read
+    dis = _i32(anchor.ref_offset - anchor.index_in_read)
     for c in chains:
         if c.direction == anchor.direction and c.ref_id == anchor.ref_id:
             dis_minus = abs(dis - c.q_t_dis)
@@ -107,7 +117,8 @@ def chain_insert_m3(anchors: list, chains: list):
         j = i + 1
         while (j < n and anchors[j].ref_id == ref_id
                and anchors[j].direction == direction
-               and anchors[j].ref_offset - anchors[j - 1].ref_offset < 2000):
+               and (anchors[j].ref_offset
+                    - anchors[j - 1].ref_offset) & U32 < 2000):
             j += 1
         if j - i > M3_MAX_RUN:
             j = i + M3_MAX_RUN
@@ -117,24 +128,26 @@ def chain_insert_m3(anchors: list, chains: list):
         for ci, c_a in enumerate(run):
             c_a.chain_anchor_pre = None
             anchor_max = c_a.score
-            max_t = c_a.ref_offset + MAX_ANCHOR_OVERLAP
+            # uint32 domain (src/cly.c:263-280) — see _i32
+            max_t = (c_a.ref_offset + MAX_ANCHOR_OVERLAP) & U32
             max_q = c_a.index_in_read + MAX_ANCHOR_OVERLAP
             for pi in range(ci - 1, -1, -1):
                 pre = run[pi]
                 if pre.index_in_read + pre.mtch_len > max_q:
                     continue
-                if pre.ref_offset + pre.mtch_len > max_t:
+                if (pre.ref_offset + pre.mtch_len) & U32 > max_t:
                     continue
                 if pre.index_in_read + 1000 < max_q:
                     break
-                if pre.ref_offset + 1000 < max_t:
+                if (pre.ref_offset + 1000) & U32 < max_t:
                     break
-                indel = pre.index_in_read - pre.ref_offset - (max_q - max_t)
+                indel = _i32(pre.index_in_read - pre.ref_offset
+                             - (max_q - max_t))
                 abs_indel = abs(indel)
                 if abs_indel > 200:
                     continue
                 new_score = (score_v[pi] + c_a.mtch_len - (abs_indel >> 4)
-                             - ((max_q - pre.index_in_read) >> 8))
+                             - (((max_q - pre.index_in_read) & U32) >> 8))
                 if new_score > anchor_max:
                     anchor_max = new_score
                     c_a.chain_anchor_pre = pre
@@ -150,8 +163,8 @@ def chain_insert_m3(anchors: list, chains: list):
         pre = max_anchor
         while pre.chain_anchor_pre is not None:
             pre_ = pre.chain_anchor_pre
-            sum_indel += (pre.index_in_read - pre_.index_in_read) - (
-                pre.ref_offset - pre_.ref_offset)
+            sum_indel += _i32((pre.index_in_read - pre_.index_in_read)
+                              - (pre.ref_offset - pre_.ref_offset))
             with_top = with_top or (not pre.anchor_useless)
             sum_score += 1 if pre.duplicate else pre.score
             pre = pre_
@@ -159,9 +172,9 @@ def chain_insert_m3(anchors: list, chains: list):
         c = _new_chain(chains)
         c.ref_id = ref_id
         c.direction = direction
-        c.q_t_dis = max_anchor.ref_offset - max_anchor.index_in_read
+        c.q_t_dis = _i32(max_anchor.ref_offset - max_anchor.index_in_read)
         c.t_st = pre.ref_offset
-        c.t_ed = max_anchor.ref_offset + max_anchor.mtch_len
+        c.t_ed = (max_anchor.ref_offset + max_anchor.mtch_len) & U32
         c.q_st = pre.index_in_read
         c.q_ed = max_anchor.index_in_read + max_anchor.mtch_len
         c.with_top_anchor = with_top
@@ -183,7 +196,8 @@ def resolve_tree(anchors: list, chains: list):
     if len(chains) > 1:
         chains.sort(key=lambda c: (
             0 if c.with_top_anchor else 1,
-            -(c.sum_score + ((c.q_ed - c.q_st) << 1) - (c.indel << 2)),
+            -(_i32(c.sum_score + (((c.q_ed - c.q_st) & U32) << 1))
+              - _i32((c.indel << 2) & U32)),
         ))
     rst_num = min(5, len(chains))
     while rst_num < len(chains) and chains[rst_num].with_top_anchor:

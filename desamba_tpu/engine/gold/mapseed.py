@@ -447,7 +447,9 @@ def _map_seed_py(idx, fm: FM, loc: Locator, q_mem, q_lv, m_r: MemRst,
                 mtch_len=a_mtch, score=a_score, left_len=a_ll, left_ed=a_le,
                 rigt_len=a_rl, rigt_ed=a_re, direction=direction,
                 global_offset=global_offset, ref_id=ref_id,
-                ref_offset=global_offset - int(idx.ref_off[ref_id]),
+                # uint32: extensions crossing the ref start wrap (the
+                # reference stores Anchor.ref_offset as uint32)
+                ref_offset=(global_offset - int(idx.ref_off[ref_id])) & U32M,
                 index_in_read=q_off + 1 - l_m_ext_l, chain_anchor_pre=None,
                 seed_id=seed_id, chain_id=0, anchor_useless=False,
                 duplicate=duplicate,

@@ -64,7 +64,13 @@ class ReadKmerIndex:
 
 def _mem_q(qbuf: np.ndarray, qi: int, t: np.ndarray, ti: int, forward: bool,
            maxlen: int) -> int:
-    """MEM_search (src/cly.c:1810-1818); out-of-buffer -> mismatch.
+    """MEM_search (src/cly.c:1810-1818) for the sdp probes.
+
+    Bytes past the buffer END mismatch (the C reads stale realloc tail
+    there — unreplicable, and runs reaching it are vanishingly rare).
+    Bytes BEFORE the buffer start compare as char 0: the C walks into
+    the glibc chunk header whose top size bytes are 0x00 ('A'), which
+    is what makes its head-over-read matches stable across runs.
 
     Long extensions take a vectorized first-mismatch scan; short ones
     (the 4-cap leftmost checks) stay scalar to skip array overhead."""
@@ -74,22 +80,23 @@ def _mem_q(qbuf: np.ndarray, qi: int, t: np.ndarray, ti: int, forward: bool,
     if forward:
         m = min(maxlen, lq - qi, lt - ti)
     else:
-        m = min(maxlen, qi + 1, ti + 1)
+        m = min(maxlen, ti + 1)
     if m <= 0:
         return 0
     if m > 24:
         if forward:
             neq = np.flatnonzero(qbuf[qi : qi + m] != t[ti : ti + m])
         else:
-            neq = np.flatnonzero(qbuf[qi - m + 1 : qi + 1][::-1]
-                                 != t[ti - m + 1 : ti + 1][::-1])
+            qidx = qi - np.arange(m)
+            qv = np.where(qidx >= 0, qbuf[np.maximum(qidx, 0)], 0)
+            neq = np.flatnonzero(qv != t[ti - m + 1 : ti + 1][::-1])
         return int(neq[0]) if len(neq) else m
     n = 0
     if forward:
         while n < m and qbuf[qi + n] == t[ti + n]:
             n += 1
     else:
-        while n < m and qbuf[qi - n] == t[ti - n]:
+        while n < m and (qbuf[qi - n] if qi - n >= 0 else 0) == t[ti - n]:
             n += 1
     return n
 
@@ -119,7 +126,10 @@ def sdp_match(q_bg: int, q_ed: int, qbuf: np.ndarray, qbase: int,
             i = int(probe_at[j])
             for q_pos in rk.pos[los[j] : his[j]]:
                 q_pos = int(q_pos)
-                if not (q_bg <= q_pos <= q_ed):
+                # filter 2 (src/cly.c:2251): the C compares q_bg (not
+                # q_pos) to q_ed — candidates above q_ed are accepted;
+                # the upper bound only gates the window as a whole
+                if not (q_pos >= q_bg and q_bg <= q_ed):
                     continue
                 back_len = _mem_q(qbuf, qbase + q_pos - 1, t_arr, t0 + i - 1,
                                   False, 4)
@@ -142,7 +152,8 @@ def sdp_match(q_bg: int, q_ed: int, qbuf: np.ndarray, qbase: int,
             tpos = t_kmer_num - 1 - i
             for q_pos in rk.pos[los[j] : his[j]]:
                 q_pos = int(q_pos)
-                if not (q_bg <= q_pos <= q_ed):
+                # filter 2 (src/cly.c:2306): same q_bg/q_ed quirk as fwd
+                if not (q_pos >= q_bg and q_bg <= q_ed):
                     continue
                 fwd_len = _mem_q(qbuf, qbase + q_pos + K9, t_arr,
                                  t0 + tpos + K9, True, 4)
@@ -154,6 +165,19 @@ def sdp_match(q_bg: int, q_ed: int, qbuf: np.ndarray, qbase: int,
                     if total >= 4:
                         sms.append([(q_pos - back_len) & U32,
                                     (tpos - back_len + t_st) & U32, total, 0])
+
+
+def _i32(x: int) -> int:
+    """A C uint32 expression assigned to / compared as signed int.
+
+    The reference's SDP node loops run entirely in uint32 (q_pos/t_pos
+    wrap negative when matches over-read the buffer start, e.g. the
+    node q = 2^32-2 a backward MEM emits at the read head); derived
+    bounds like ``min_pre_q = q_pos + len + 2`` then wrap back to SMALL
+    values, so predecessors still chain. Ints that never wrap are
+    unchanged by this helper — it only matters on wrapped nodes."""
+    x &= U32
+    return x - (1 << 32) if x >= (1 << 31) else x
 
 
 def sc_hash_idx(chains: list) -> dict:
@@ -173,8 +197,9 @@ def combine_chain(chains: list, chain_id: int, sc_hash: dict, dis: int,
     c_h = chains[chain_id]
     for ci, s_or_e in sc_hash.get(dis & 0xFF, ()):
         c = chains[ci]
-        dis_con = (c.t_ed - c.q_ed) if isleft else (c.t_st - c.q_st)
-        q_pos_con = c.q_st if not isleft else (c.q_ed - K9)
+        # int casts of uint32 expressions (src/cly.c:1779-1780)
+        dis_con = _i32((c.t_ed - c.q_ed) if isleft else (c.t_st - c.q_st))
+        q_pos_con = _i32(c.q_st if not isleft else (c.q_ed - K9))
         if (dis == dis_con and c is not c_h and int(isleft) != s_or_e
                 and abs(c_q_pos - q_pos_con) < 8 and c_h.ref_id == c.ref_id
                 and c_h.direction == c.direction and c.sum_score != 0
@@ -214,25 +239,28 @@ def sdp_middle(c_a, idx, sms: list, qbuf, qbase, rk: ReadKmerIndex) -> int:
                           total_ref_len, sms, pre_refoffset + pre_mch, True)
             sms.append([c_a.index_in_read, c_a.ref_offset,
                         c_a.mtch_len - K9 + 1, 0])
+            # uint32 loop domain (src/cly.c:2488-2517): positions wrap,
+            # derived bounds wrap back, comparisons are unsigned
             for si in range(1, len(sms)):
                 c_spd = sms[si]
                 max_score = c_spd[2]
-                max_q = c_spd[0] + 6
-                max_t = c_spd[1] + 6
+                max_q = (c_spd[0] + 6) & U32
+                max_t = (c_spd[1] + 6) & U32
                 for pi in range(si - 1, -1, -1):
                     pre = sms[pi]
-                    pre_q_ed = pre[0] + pre[2] + K9 - 1
-                    pre_t_ed = pre[1] + pre[2] + K9 - 1
+                    pre_q_ed = (pre[0] + pre[2] + K9 - 1) & U32
+                    pre_t_ed = (pre[1] + pre[2] + K9 - 1) & U32
                     if pre_q_ed > max_q:
                         continue
                     if pre_t_ed > max_t:
                         continue
-                    indel = pre[0] - pre[1] - (max_q - max_t)
+                    indel = _i32(pre[0] - pre[1] - (max_q - max_t))
                     if abs(indel) > 200:
                         continue
                     new_score = pre[3] + c_spd[2] - (abs(indel) >> 3)
                     if pre_q_ed > c_spd[0] or pre_t_ed > c_spd[1]:
-                        new_score -= max(pre_q_ed - c_spd[0], pre_t_ed - c_spd[1])
+                        new_score -= max(_i32(pre_q_ed - c_spd[0]),
+                                         _i32(pre_t_ed - c_spd[1]))
                     if new_score > max_score:
                         max_score = new_score
                 score = max(max_score, score)
@@ -283,35 +311,38 @@ def sdp_right(idx, sms, qbuf, qbase, rk, chains, chain_id, l_read, sc_hash,
             c_t_offset = (c_t_offset + max_search_ref - K9 - 3) & U32
             if len(sms) == current_sms:
                 break
-            if sms[current_sms][1] > sms[max_sms_id][1] + 1000:
+            if sms[current_sms][1] > (sms[max_sms_id][1] + 1000) & U32:
                 break
         c_sms = sms[current_sms]
         current_sms += 1
         max_score = c_sms[2]
-        max_pre_q = c_sms[0] + 6
-        max_pre_t = c_sms[1] + 6
+        # uint32 loop domain (src/cly.c:2607-2641) — see _i32
+        max_pre_q = (c_sms[0] + 6) & U32
+        max_pre_t = (c_sms[1] + 6) & U32
         for pi in range(current_sms - 2, -1, -1):
             pre = sms[pi]
-            pre_q_ed = pre[0] + pre[2] + K9 - 1
-            pre_t_ed = pre[1] + pre[2] + K9 - 1
+            pre_q_ed = (pre[0] + pre[2] + K9 - 1) & U32
+            pre_t_ed = (pre[1] + pre[2] + K9 - 1) & U32
             if pre_q_ed > max_pre_q:
                 continue
             if pre_t_ed > max_pre_t:
                 continue
-            if pre[1] + 600 < max_pre_t:
+            if (pre[1] + 600) & U32 < max_pre_t:
                 break
-            indel = pre[0] - pre[1] - (max_pre_q - max_pre_t)
+            indel = _i32(pre[0] - pre[1] - (max_pre_q - max_pre_t))
             if abs(indel) > 200:
                 continue
             new_score = pre[3] + c_sms[2] - (abs(indel) >> 3)
             if pre_q_ed > c_sms[0] or pre_t_ed > c_sms[1]:
-                new_score -= max(pre_q_ed - c_sms[0], pre_t_ed - c_sms[1])
+                new_score -= max(_i32(pre_q_ed - c_sms[0]),
+                                 _i32(pre_t_ed - c_sms[1]))
             if new_score > max_score:
                 max_score = new_score
         c_sms[3] = max_score
         if c_sms[2] >= 8:
             combined = combine_chain(chains, chain_id, sc_hash,
-                                     c_sms[1] - c_sms[0], False, c_sms[0])
+                                     _i32(c_sms[1] - c_sms[0]), False,
+                                     _i32(c_sms[0]))
             if combined is not None:
                 total_max_score = (max(score_ori, max_score) - c_sms[2]
                                    + sdp_middle(combined.chain_anchor_cur, idx,
@@ -326,7 +357,7 @@ def sdp_right(idx, sms, qbuf, qbase, rk, chains, chain_id, l_read, sc_hash,
         if total_max_score < max_score:
             total_max_score = max_score
             max_sms_id = current_sms - 1
-        if c_sms[1] > sms[max_sms_id][1] + 1000:
+        if c_sms[1] > (sms[max_sms_id][1] + 1000) & U32:
             break
     c_h.q_ed = (sms[max_sms_id][0] + sms[max_sms_id][2] + K9) & U32
     c_h.t_ed = (sms[max_sms_id][1] + sms[max_sms_id][2] + K9) & U32
@@ -379,34 +410,38 @@ def sdp_left(idx, sms, qbuf, qbase, rk, chains, chain_id, l_read, sc_hash,
             c_t_offset = (c_t_offset - max_search_ref + K9 + 3) & U32
             if len(sms) == current_sms:
                 break
-            if sms[current_sms][1] + 1000 < sms[max_sms_id][1]:
+            if (sms[current_sms][1] + 1000) & U32 < sms[max_sms_id][1]:
                 break
         c_sms = sms[current_sms]
         current_sms += 1
         max_score = c_sms[2]
-        min_pre_q = c_sms[0] + c_sms[2] - 6 + K9 - 1
-        min_pre_t = c_sms[1] + c_sms[2] - 6 + K9 - 1
+        # uint32 loop domain (src/cly.c:2755-2784) — see _i32. A wrapped
+        # node (q ~ 2^32-2) makes min_pre_q wrap back SMALL, so normal
+        # predecessors still chain onto it.
+        min_pre_q = (c_sms[0] + c_sms[2] - 6 + K9 - 1) & U32
+        min_pre_t = (c_sms[1] + c_sms[2] - 6 + K9 - 1) & U32
         for pi in range(current_sms - 2, -1, -1):
             pre = sms[pi]
             if pre[0] < min_pre_q:
                 continue
             if pre[1] < min_pre_t:
                 continue
-            if min_pre_t + 600 < pre[1]:
+            if (min_pre_t + 600) & U32 < pre[1]:
                 break
-            indel = pre[0] - pre[1] - (min_pre_q - min_pre_t)
+            indel = _i32(pre[0] - pre[1] - (min_pre_q - min_pre_t))
             if abs(indel) > 200:
                 continue
             new_score = pre[3] + c_sms[2] - (abs(indel) >> 3)
-            if min_pre_q + 6 > pre[0] or min_pre_t + 6 > pre[1]:
-                new_score -= max(min_pre_q + 6 - pre[0], min_pre_t + 6 - pre[1])
+            if (min_pre_q + 6) & U32 > pre[0] or (min_pre_t + 6) & U32 > pre[1]:
+                new_score -= max(_i32(min_pre_q + 6 - pre[0]),
+                                 _i32(min_pre_t + 6 - pre[1]))
             if new_score > max_score:
                 max_score = new_score
         c_sms[3] = max_score
         if c_sms[2] >= 8:
             combined = combine_chain(chains, chain_id, sc_hash,
-                                     c_sms[1] - c_sms[0], True,
-                                     c_sms[0] + c_sms[2])
+                                     _i32(c_sms[1] - c_sms[0]), True,
+                                     _i32(c_sms[0] + c_sms[2]))
             if combined is not None:
                 total_max_score = (max(score_ori, max_score) - c_sms[2]
                                    + sdp_middle(combined.chain_anchor_cur, idx,
@@ -421,7 +456,7 @@ def sdp_left(idx, sms, qbuf, qbase, rk, chains, chain_id, l_read, sc_hash,
         if total_max_score < max_score:
             total_max_score = max_score
             max_sms_id = current_sms - 1
-        if c_sms[1] + 1000 < sms[max_sms_id][1]:
+        if (c_sms[1] + 1000) & U32 < sms[max_sms_id][1]:
             break
     c_h.q_st = sms[max_sms_id][0] & U32
     c_h.t_st = sms[max_sms_id][1] & U32
@@ -532,14 +567,17 @@ def post_rescore_finish(chains, l_read, state, opts):
                     continue
                 if nxt.sum_score == 0:
                     continue
-                if (nxt.t_st < c_c.t_st + 5 and nxt.q_st < c_c.q_st + 5
+                # uint32 domain (src/cly.c:2931-2941): +5 and the
+                # distances wrap when a left extension wrapped q_st/t_st
+                if (nxt.t_st < (c_c.t_st + 5) & U32
+                        and nxt.q_st < (c_c.q_st + 5) & U32
                         and nxt.sum_score < c_c.sum_score + 5):
                     nxt.sum_score = 0
                     nxt.q_ed = nxt.q_st
                     nxt.t_ed = nxt.t_st
                     continue
-                dis_t = nxt.t_st - c_c.t_ed
-                dis_q = nxt.q_st - c_c.q_ed
+                dis_t = _i32(nxt.t_st - c_c.t_ed)
+                dis_q = _i32(nxt.q_st - c_c.q_ed)
                 if (-20 < dis_t < 1000 and -20 < dis_q < 1000
                         and abs(dis_t - dis_q) < 200):
                     c_c.t_ed = max(c_c.t_ed, nxt.t_ed)
@@ -552,19 +590,23 @@ def post_rescore_finish(chains, l_read, state, opts):
                 break
     state.max_read_l = max(state.max_read_l, l_read)
 
+    # spans in uint32 (src/cly.c:2965-2986): a wrapped q_st makes
+    # q_ed - q_st wrap back to the true span
     if state.max_read_l < 510:
         for c in chains:
-            if c.sum_score + ((c.q_ed - c.q_st) >> 5) < FILTER_MIN_SCORE_2G:
+            if c.sum_score + (((c.q_ed - c.q_st) & U32) >> 5) \
+                    < FILTER_MIN_SCORE_2G:
                 c.sum_score = 0
     elif l_read < 310:
         for c in chains:
-            if c.sum_score + ((c.q_ed - c.q_st) >> 5) < FILTER_MIN_SCORE_SHORT_3G:
+            if c.sum_score + (((c.q_ed - c.q_st) & U32) >> 5) \
+                    < FILTER_MIN_SCORE_SHORT_3G:
                 c.sum_score = 0
     else:
         for c in chains:
-            score = c.sum_score + ((c.q_ed - c.q_st) >> 5)
+            score = c.sum_score + (((c.q_ed - c.q_st) & U32) >> 5)
             if score < opts.filter_min_score_lv3 and (
-                    c.q_ed - c.q_st < opts.filter_min_length
+                    ((c.q_ed - c.q_st) & U32) < opts.filter_min_length
                     or score < opts.filter_min_score):
                 c.sum_score = 0
 

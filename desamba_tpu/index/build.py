@@ -27,6 +27,7 @@ Reference algorithms mirrored:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -474,10 +475,19 @@ def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
 
     # ---- existence filter (src/idx.c:964-1026) ------------------------------
     e_kmer_size = None
-    for size, (bits, le) in EKMER_PARAMS.items():
-        if n_kmer < (1 << (bits + 1)) // 9:
-            e_kmer_size, mask_bits, len_e_kmer = size, bits, le
-            break
+    forced = os.environ.get("DESAMBA_FORCE_EKMER_SIZE")
+    if forced:
+        # test hook: force a table tier (e.g. 268435456 -> len_e_kmer 17)
+        # so the 17-20-mer probe paths are exercisable on small genomes;
+        # the reference binary derives its parameters from the exported
+        # exki value (src/idx.c:966-982), so differential tests stay valid
+        e_kmer_size = int(forced)
+        mask_bits, len_e_kmer = EKMER_PARAMS[e_kmer_size]
+    else:
+        for size, (bits, le) in EKMER_PARAMS.items():
+            if n_kmer < (1 << (bits + 1)) // 9:
+                e_kmer_size, mask_bits, len_e_kmer = size, bits, le
+                break
     if e_kmer_size is None:
         e_kmer_size, (mask_bits, len_e_kmer) = 1 << 34, EKMER_PARAMS[1 << 34]
     e_hash_mask = (1 << mask_bits) - 1

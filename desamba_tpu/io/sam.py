@@ -1,9 +1,17 @@
 """Output formatters: SAM / SAM_FULL / DES / DES_FULL.
 
 Byte-faithful to src/cly_mt.c:158-365 (field order, tabs — including the
-trailing tab after AS:i — MAPQ rules, CIGAR S/H usage).
+trailing tab after AS:i — MAPQ rules, CIGAR S/H usage). Coordinates are
+uint32 in the reference but printed with %d, so wrapped values (t_st of
+a chain whose left extension crossed the reference start) print
+negative — _i32 mirrors that.
 """
 from __future__ import annotations
+
+
+def _i32(x: int) -> int:
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
 
 
 def format_sam(res, ref_names, max_sec_n: int, output_seq: bool) -> str:
@@ -21,8 +29,9 @@ def format_sam(res, ref_names, max_sec_n: int, output_seq: bool) -> str:
     else:
         mapq_pri = (c0.sum_score - chains[1].sum_score) << 2
     out.append(
-        f"{res.name}\t{flag}\t{ref_names[c0.ref_id]}\t{c0.t_st}\t{mapq_pri}\t"
-        f"{c0.q_st}S{c0.q_ed - c0.q_st}M{read_l - c0.q_ed}S\t*\t0\t0\t"
+        f"{res.name}\t{flag}\t{ref_names[c0.ref_id]}\t{_i32(c0.t_st)}\t{mapq_pri}\t"
+        f"{_i32(c0.q_st)}S{_i32(c0.q_ed - c0.q_st)}M"
+        f"{_i32(read_l - c0.q_ed)}S\t*\t0\t0\t"
         f"{seq_s}\t{qual_s}\tAS:i:{c0.sum_score}\t\n"
     )
     for loop in (0, 1):
@@ -38,8 +47,9 @@ def format_sam(res, ref_names, max_sec_n: int, output_seq: bool) -> str:
                 continue
             hs = "H" if loop == 0 else "S"
             out.append(
-                f"{res.name}\t{flag}\t{ref_names[c.ref_id]}\t{c.t_st}\t{mapq}\t"
-                f"{c.q_st}{hs}{c.q_ed - c.q_st}M{read_l - c.q_ed}{hs}\t*\t0\t0\t"
+                f"{res.name}\t{flag}\t{ref_names[c.ref_id]}\t{_i32(c.t_st)}\t{mapq}\t"
+                f"{_i32(c.q_st)}{hs}{_i32(c.q_ed - c.q_st)}M"
+                f"{_i32(read_l - c.q_ed)}{hs}\t*\t0\t0\t"
                 f"*\t*\tAS:i:{c.sum_score}\t\n"
             )
     return "".join(out)
@@ -58,8 +68,10 @@ def format_des(res, ref_names, max_sec_n: int, full: bool) -> str:
         pri = ["PRI", "SEC", "SUP"][c.primary - 1]
         line = (
             f"{rst_cnt:3d} {pri} {'F' if c.direction else 'R'} "
-            f"{ref_names[c.ref_id]:>20s} ts:{c.t_st:<10d} te:{c.t_ed:<10d} "
-            f"qs:{c.q_st:<10d} qe:{c.q_ed:<10d} {c.sum_score:<5d}\t{c.indel}\t\n"
+            f"{ref_names[c.ref_id]:>20s} ts:{_i32(c.t_st):<10d} "
+            f"te:{_i32(c.t_ed):<10d} "
+            f"qs:{_i32(c.q_st):<10d} qe:{_i32(c.q_ed):<10d} "
+            f"{c.sum_score:<5d}\t{c.indel}\t\n"
         )
         rst_cnt += 1
         return line

@@ -420,10 +420,8 @@ def test_rescore_kernel_parity(device_setup):
     fb = np.asarray(fb)
 
     def coord(v):
-        v = int(v)
-        if v >= dr.T_BIAS:
-            return v - dr.T_BIAS + (1 << 32)
-        return v & 0xFFFFFFFF if v < 0 else v
+        # kernel coordinates are uint32 bit patterns in int32
+        return int(v) & 0xFFFFFFFF
 
     for b, (seq, dirs, chains) in enumerate(work):
         assert not fb[b], f"read {b} fell back"

@@ -49,12 +49,21 @@ for bf, bp, pp in grid:
         **kw))
     t_compile = time.time() - t0
     times = []
-    for _ in range(3):
+    for rep in range(3):
+        # the axon relay caches (executable, inputs) -> outputs, so
+        # identical repeats return in ~0 s; perturb an inert input bit
+        # (schash of a lane with no chains) to force real execution
+        pert = inp._replace(schash=inp.schash.at[0, 0, 0].add(rep + 1))
+        jax.block_until_ready(pert)
         t0 = time.time()
-        out = jax.block_until_ready(dr.rescore_kernel(
-            inp, ref_bin, ref_off, ref_len_arr, n_bases=n_bases, bf=bf,
-            bp=bp, **kw))
+        out2 = dr.rescore_kernel(
+            pert, ref_bin, ref_off, ref_len_arr, n_bases=n_bases, bf=bf,
+            bp=bp, **kw)
+        # block_until_ready over the axon relay can resolve on dispatch
+        # ack; a scalar download anchors the real completion time
+        np.asarray(out2[3])
         times.append(time.time() - t0)
+        del out2
     chains, fb, reason, iters = out
     if ref_out is None:
         ref_out = (np.asarray(chains), np.asarray(fb))
