@@ -50,7 +50,16 @@ from .mesh import make_mesh, shard_index
 
 
 class MeshClassifier(DeviceClassifier):
-    def __init__(self, idx, opts=None, mesh=None, batch_size: int = 2048):
+    def __init__(self, idx, opts=None, mesh=None, batch_size: int = 2048,
+                 shard_full: bool = False):
+        """shard_full=True splits EVERY large gather table (FM blocks,
+        hash13, full SA, packed text/ref, REF_POS fan-out, ...) by row
+        range over ``idx`` — no device holds a full copy of any index
+        array; gathers are answered with ownership-mask + psum
+        (parallel/sharded.py). This is the layout for indexes beyond
+        one chip's HBM (the reference's 69 GB RefSeq-"all" envelope,
+        /root/reference/README.md:50). Off (default), only the
+        existence-filter bit tables shard (viral-scale layout)."""
         super().__init__(idx, opts, batch_size=batch_size)
         self.mesh = mesh if mesh is not None else make_mesh(
             len(jax.devices()), 1)
@@ -60,7 +69,40 @@ class MeshClassifier(DeviceClassifier):
             raise ValueError("dp size must be a power of two (bucketed "
                              "shapes guarantee divisibility only then)")
         self.placed = shard_index(self.mesh, self.dix)
+        self.shard_full = shard_full
+        if shard_full:
+            from . import sharded as sh
+
+            fields = type(self.ixr)._fields
+            self._sh_fields = [f for f in fields[:18]
+                               if f in sh.SHARDED_IXR_FIELDS]
+            placed, gshapes = [], []
+            for f in self._sh_fields:
+                p, g = sh.shard_table(self.mesh, getattr(self.ixr, f))
+                placed.append(p)
+                gshapes.append(g)
+            self._sh_ixr = tuple(placed)
+            self._sh_ixr_shapes = tuple(gshapes)
+            self._sh_fm, self._sh_fm_shape = sh.shard_table(
+                self.mesh, self.dix.fm_blocks)
+            self._sh_h13, self._sh_h13_shape = sh.shard_table(
+                self.mesh, self.dix.hash13)
+            self._sh_ref, self._sh_ref_shape = sh.shard_table(
+                self.mesh, self.dix.ref_bin)
         self._cache = {}
+
+    def _wrap_ixr(self, shard_tup, ref_off):
+        """Inside a shard_map body: rebuild IndexRefs over this device's
+        shards (ShardedArray leaves gather via mask+psum)."""
+        from . import sharded as sh
+
+        vals = dict(zip(self._sh_fields,
+                        (sh.wrap_local(s, g) for s, g in
+                         zip(shard_tup, self._sh_ixr_shapes))))
+        vals["ref_off"] = ref_off
+        return type(self.ixr)(
+            **vals, text_len=self.ixr.text_len, n_uni=self.ixr.n_uni,
+            n_bases=self.ixr.n_bases)
 
     # ---- sharded kernels --------------------------------------------------
     def _k_bloom(self, strands, lens):
@@ -113,22 +155,47 @@ class MeshClassifier(DeviceClassifier):
                     slow_ladder.__wrapped__, l_ek=l_ek, a_cap=A_CAP,
                     m_cap=M_CAP, pack_cap=pack_local, bl=bl)
 
-            def step(ixr, fm_blocks, rank6, hash13, codes, blen, pre,
-                     q_mem, q_lv, *lanes):
-                out = fn(ixr, fm_blocks, rank6, hash13, codes, blen, pre,
-                         q_mem, q_lv, *lanes)
-                packed, base, acnt, flag, povf = out
-                return packed, base, acnt, flag, povf.reshape(1)
+            if self.shard_full:
+                def step(sh_tup, ref_off, fm_flat, rank6, h13_flat,
+                         codes, blen, pre, q_mem, q_lv, *lanes):
+                    from . import sharded as sh
 
-            # reads are replicated for the ladders (lanes of one read may
-            # land on any shard); lane arrays split over dp
-            self._cache[key] = jax.jit(shard_map(
-                step, mesh=self.mesh,
-                in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P())
-                + (P("dp"),) * 8,
-                out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
-                check_rep=False))
+                    ixr = self._wrap_ixr(sh_tup, ref_off)
+                    fm = sh.wrap_local(fm_flat, self._sh_fm_shape)
+                    h13 = sh.wrap_local(h13_flat, self._sh_h13_shape)
+                    out = fn(ixr, fm, rank6, h13, codes, blen, pre,
+                             q_mem, q_lv, *lanes)
+                    packed, base, acnt, flag, povf = out
+                    return packed, base, acnt, flag, povf.reshape(1)
+
+                n_sh = len(self._sh_fields)
+                self._cache[key] = jax.jit(shard_map(
+                    step, mesh=self.mesh,
+                    in_specs=((P("idx"),) * n_sh, P(), P("idx"), P(),
+                              P("idx"), P(), P(), P(), P(), P())
+                    + (P("dp"),) * 8,
+                    out_specs=(P("dp"),) * 5, check_rep=False))
+            else:
+                def step(ixr, fm_blocks, rank6, hash13, codes, blen, pre,
+                         q_mem, q_lv, *lanes):
+                    out = fn(ixr, fm_blocks, rank6, hash13, codes, blen,
+                             pre, q_mem, q_lv, *lanes)
+                    packed, base, acnt, flag, povf = out
+                    return packed, base, acnt, flag, povf.reshape(1)
+
+                # reads are replicated for the ladders (lanes of one read
+                # may land on any shard); lane arrays split over dp
+                self._cache[key] = jax.jit(shard_map(
+                    step, mesh=self.mesh,
+                    in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P())
+                    + (P("dp"),) * 8,
+                    out_specs=(P("dp"),) * 5, check_rep=False))
         dix = self.dix
+        if self.shard_full:
+            return self._cache[key](self._sh_ixr, self.ixr.ref_off,
+                                    self._sh_fm, dix.rank, self._sh_h13,
+                                    codes_fr, buf_len, pre13,
+                                    dix.q_mem, dix.q_lv, *lane_args)
         return self._cache[key](self.ixr, dix.fm_blocks, dix.rank,
                                 dix.hash13, codes_fr, buf_len, pre13,
                                 dix.q_mem, dix.q_lv, *lane_args)
@@ -169,6 +236,23 @@ class MeshClassifier(DeviceClassifier):
                 bf=max(64, B_loc // 13 // 32 * 32),
                 bp=max(64, B_loc // 10 // 32 * 32), pp=8)
 
+            if self.shard_full:
+                def step(inp, ref_flat, ref_off, ref_len_arr):
+                    from . import sharded as sh
+
+                    ref_bin = sh.wrap_local(ref_flat, self._sh_ref_shape)
+                    ch, fb, reason, iters = fn(inp, ref_bin, ref_off,
+                                               ref_len_arr)
+                    return ch, fb, reason, iters.reshape(1)
+
+                self._cache[key] = jax.jit(shard_map(
+                    step, mesh=self.mesh,
+                    in_specs=(drr.RescoreIn(*([P("dp")] * 8)), P("idx"),
+                              P(), P()),
+                    out_specs=(P("dp"),) * 4, check_rep=False))
+                return self._cache[key](inp, self._sh_ref, dix.ref_off,
+                                        dix.ref_len_arr)
+
             def step(inp, ref_bin, ref_off, ref_len_arr):
                 ch, fb, reason, iters = fn(inp, ref_bin, ref_off,
                                            ref_len_arr)
@@ -178,5 +262,8 @@ class MeshClassifier(DeviceClassifier):
                 step, mesh=self.mesh,
                 in_specs=(drr.RescoreIn(*([P("dp")] * 8)), P(), P(), P()),
                 out_specs=(P("dp"),) * 4, check_rep=False))
+        if self.shard_full:
+            return self._cache[key](inp, self._sh_ref, dix.ref_off,
+                                    dix.ref_len_arr)
         return self._cache[key](inp, dix.ref_bin, dix.ref_off,
                                 dix.ref_len_arr)
