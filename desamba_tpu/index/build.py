@@ -130,19 +130,17 @@ def _popcount4(x: np.ndarray) -> np.ndarray:
     return (x & 1) + ((x >> 1) & 1) + ((x >> 2) & 1) + ((x >> 3) & 1)
 
 
-def _check_memory_budget(fasta_path: str):
-    """Fail fast with a clear message instead of OOMing mid-build.
-
-    The array-parallel build peaks at ~100 bytes per reference base plus
-    a ~3 GB dense hash13 stage (measured: 16 MB genome -> 4.4 GB peak
-    RSS after the round-2 memory pass — dead-intermediate frees, int32
-    walk arrays, 2-key merge sort, chunked existence hashing; was
-    6.5 GB / 18.1 GB at 64 MB before). The reference's own envelope is
-    ~4.5 bytes/base at the jellyfish stage + 160 GB for RefSeq-"all"
-    (README.md:50); a streamed/sharded build is the documented follow-up
-    for genomes beyond one host's RAM."""
+def _needs_external(fasta_path: str) -> bool:
+    """The array-parallel build peaks at ~100 bytes per reference base
+    plus a ~3 GB dense hash13 stage (round-2 memory-pass measurements in
+    BASELINE.md). Inputs whose estimate exceeds available RAM route to
+    the external-memory builder (build_ext.py: disk-bucketed k-mer sort
+    + memmapped tables — the reference's own strategy,
+    src/idx_sort.c:86-194)."""
     import os
 
+    if os.environ.get("DESAMBA_FORCE_EXTERNAL_BUILD"):
+        return True
     size = os.path.getsize(fasta_path)
     need = int(size * 120) + 3 * (1 << 30)
     try:
@@ -151,17 +149,16 @@ def _check_memory_budget(fasta_path: str):
                             if line.startswith("MemAvailable:"))
         avail = avail_kb * 1024
     except (OSError, StopIteration):
-        return
-    if need > avail:
-        raise MemoryError(
-            f"index build of {fasta_path} ({size / 1e9:.1f} GB) needs "
-            f"~{need / 1e9:.0f} GB RAM but only {avail / 1e9:.0f} GB is "
-            f"available; split the FASTA and build per-shard indexes "
-            f"(classify-time sharding: desamba_tpu.parallel)")
+        return False
+    return need > avail
 
 
 def build_index(fasta_path: str, progress=lambda *_: None) -> IndexData:
-    _check_memory_budget(fasta_path)
+    if _needs_external(fasta_path):
+        from .build_ext import build_index_external
+
+        progress("input exceeds the in-RAM budget; external-memory build")
+        return build_index_external(fasta_path, progress=progress)
     names, lens, raw_codes = _read_reference(fasta_path)
     if not names:
         raise ValueError(f"{fasta_path}: no sequences")

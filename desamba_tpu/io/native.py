@@ -279,6 +279,20 @@ def unitig_walk(succ: np.ndarray, is_start: np.ndarray,
     return uid, off, pc, int(n_uni)
 
 
+def unitig_walk_into(succ, is_start, is_end, first_base, uid, off, pc):
+    """unitig_walk writing into caller-provided (memmapped) outputs —
+    the external builder's RAM-bounded variant. Arrays may be
+    np.memmap; the walk touches each element once."""
+    n = len(succ)
+    n_uni = _LIB.unitig_walk(succ.ctypes.data, is_start.ctypes.data,
+                             is_end.ctypes.data, first_base.ctypes.data,
+                             n, uid.ctypes.data, off.ctypes.data,
+                             pc.ctypes.data)
+    if n_uni < 0:
+        raise RuntimeError("unitig walk found a start-less cycle")
+    return int(n_uni)
+
+
 def resolve_tree_m2(arows: np.ndarray, m3_threshold: int,
                     max_dis_minus: int, max_waiting_len: int):
     """Native M2 chaining (csrc/goldhot.c); == gold resolve_tree for

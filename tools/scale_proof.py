@@ -7,6 +7,7 @@ Usage:
   python3 tools/scale_proof.py reads <idxdir> <n> <fq>  # mutated reads
   python3 tools/scale_proof.py classify <idxdir> <fq> [--gold-sample N]
 """
+import os
 import resource
 import sys
 import time
@@ -37,6 +38,52 @@ def gen(mb: int, out: str):
             for j in range(0, len(s), 80):
                 f.write(s[j : j + 80] + "\n")
     print(f"gen: {mb} MB in {time.time() - t0:.1f}s -> {out}")
+
+
+def gen_dup(mb: int, out: str):
+    """Synthetic genome with ~2x content duplication: half the k-mers of
+    a same-size random genome (real reference collections repeat; the
+    external build's k-mer table scales with UNIQUE k-mers)."""
+    rng = np.random.default_rng(123)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    n_seq = max(8, mb // 16)
+    per = mb * (1 << 20) // n_seq // 2
+    t0 = time.time()
+    with open(out, "w") as f:
+        for i in range(n_seq):
+            core = bases[rng.integers(0, 4, per)].tobytes().decode()
+            # each sequence = unique core + a shifted copy of it
+            s = core + "NNN" + core[137:] + core[:137]
+            f.write(f">tid|{2000 + i}|ref|DUP_{i} synthetic\n")
+            for j in range(0, len(s), 80):
+                f.write(s[j : j + 80] + "\n")
+    print(f"gen_dup: {mb} MB in {time.time() - t0:.1f}s -> {out}")
+
+
+def extbuild(fa: str, out: str, cgroup_mb: int = 0):
+    """External-memory build, optionally inside a kernel-enforced
+    memory cgroup (the honest <=N GB demonstration: the kernel
+    OOM-kills us if the builder really needs more)."""
+    if cgroup_mb:
+        cg = "/sys/fs/cgroup/memory/desbuild"
+        os.makedirs(cg, exist_ok=True)
+        with open(cg + "/memory.limit_in_bytes", "w") as f:
+            f.write(str(cgroup_mb << 20))
+        with open(cg + "/cgroup.procs", "w") as f:
+            f.write(str(os.getpid()))
+        print(f"extbuild: memory cgroup limit {cgroup_mb} MB")
+    from desamba_tpu.index.build_ext import build_index_external
+    from desamba_tpu.index.store import save_index
+
+    t0 = time.time()
+    idx = build_index_external(fa, progress=lambda *a: print(
+        f"  [{time.time() - t0:7.1f}s]", *a, flush=True))
+    wall = time.time() - t0
+    save_index(idx, out)
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(f"extbuild: wall={wall:.1f}s peak_rss={rss:.2f}GB "
+          f"n_bases={int(idx.ref_off[-1] + idx.ref_len[-1])} "
+          f"n_uni={idx.n_uni} len_e_kmer={idx.len_e_kmer}")
 
 
 def build(fa: str, out: str):
@@ -130,6 +177,13 @@ if __name__ == "__main__":
     cmd = sys.argv[1]
     if cmd == "gen":
         gen(int(sys.argv[2]), sys.argv[3])
+    elif cmd == "gen_dup":
+        gen_dup(int(sys.argv[2]), sys.argv[3])
+    elif cmd == "extbuild":
+        cg = 0
+        if "--cgroup-mb" in sys.argv:
+            cg = int(sys.argv[sys.argv.index("--cgroup-mb") + 1])
+        extbuild(sys.argv[2], sys.argv[3], cg)
     elif cmd == "build":
         build(sys.argv[2], sys.argv[3])
     elif cmd == "reads":
