@@ -100,6 +100,13 @@ def cmd_classify(args):
     dt = time.time() - t1
     print(f"{n} sequences processed in {dt:.3f}s "
           f"({n / 1e3 / (dt / 60):.1f} Kseq/m).", file=sys.stderr)
+    # oracle-fallback rate (VERDICT r2: make silent rescue visible);
+    # in-process counts only — fork-pool workers count per process
+    n_fb = getattr(eng, "n_fallback", None)
+    if n_fb is None and hasattr(eng, "fallback_stats"):
+        n_fb = eng.fallback_stats()["fallback_reads"]
+    if n_fb:
+        print(f"oracle-fallback reads: {n_fb}/{n}", file=sys.stderr)
     if args.o is not None:
         out.close()
     _report_peak_rss()

@@ -216,24 +216,24 @@ class DeviceClassifier:
         base_all = np.zeros((ls.n,), np.int64)
         acnt_all = np.zeros((ls.n,), np.int32)
         skip_all = np.zeros((ls.n,), bool)
+        bad_all = np.zeros((ls.n,), bool)
         packed_all = []
-        ovf = False
         offset = 0
         # dispatch every length group before draining any (async jax
         # dispatch overlaps the groups' device compute)
         outs = [self._dispatch_ladder_group(kind, ls, g, codes_fr, buf_len,
                                             pre13) for g in groups]
         for g, out in zip(groups, outs):
-            packed, base, acnt, skip, povf = self._drain_ladder_group(out)
+            packed, base, acnt, skip, bad = self._drain_ladder_group(out)
             base_all[g] = offset + base[: len(g)]
             acnt_all[g] = acnt[: len(g)]
             skip_all[g] = skip[: len(g)]
+            bad_all[g] = bad[: len(g)]
             packed_all.append(packed)
             offset += packed.shape[0]
-            ovf = ovf or bool(np.any(povf))
         packed_dev = (packed_all[0] if len(packed_all) == 1
                       else jnp.concatenate(packed_all, axis=0))
-        return [packed_dev, base_all, acnt_all, skip_all, ovf]
+        return [packed_dev, base_all, acnt_all, skip_all, bad_all]
 
     def _dispatch_ladder_group(self, kind, ls: LaneSet, g, codes_fr,
                                buf_len, pre13):
@@ -261,9 +261,18 @@ class DeviceClassifier:
         # on host (the pack download was a round-1 bottleneck)
         packed = out[0]
         rest = [np.asarray(x) for x in jax.block_until_ready(out[1:])]
-        base, acnt, skip, povf = rest
+        base, acnt, skip, _povf = rest
+        # per-LANE pack overflow (lanes whose anchor rows spilled past
+        # the pack capacity): only the owning reads fall back, not the
+        # whole batch (a single repeat-heavy read used to rescue
+        # everything through the gold oracle)
+        bad = base + np.minimum(acnt, A_CAP) > self._pack_cap_local(NB)
         base = self._globalize_base(base, NB)
-        return [packed, base, acnt, skip, povf]
+        return [packed, base, acnt, skip, bad]
+
+    def _pack_cap_local(self, NB):
+        # single device: the ladder pack spans the whole group
+        return 2 * NB
 
     # ---- kernel indirection (overridden by parallel.MeshClassifier) ------
     def _k_bloom(self, strands, lens):
@@ -436,8 +445,8 @@ class DeviceClassifier:
                                     pre13)
 
         fallback = np.zeros(B_pad, bool)
-        if fast_out is not None and fast_out[4]:
-            fallback[:B] = True
+        if fast_out is not None and fast_out[4].any():
+            np.logical_or.at(fallback, fast_ls.ridx[fast_out[4]], True)
 
         A2 = dr.A_CAP
 
@@ -489,8 +498,8 @@ class DeviceClassifier:
             | first_top[sstr])
         slow0_out = self._run_ladder("slow", slow0_ls, codes_fr, buf_len,
                                      pre13)
-        if slow0_out is not None and slow0_out[4]:
-            np.logical_or.at(fallback, slow_reads0, True)
+        if slow0_out is not None and slow0_out[4].any():
+            np.logical_or.at(fallback, slow0_ls.ridx[slow0_out[4]], True)
         if slow0_out is not None:
             gidx_s0, nanc_s0 = self._build_gidx(
                 B_pad, A2, slow0_ls.ridx, slow0_out[1], slow0_out[2],
@@ -514,8 +523,8 @@ class DeviceClassifier:
             | first_top[sstr])
         slow1_out = self._run_ladder("slow", slow1_ls, codes_fr, buf_len,
                                      pre13)
-        if slow1_out is not None and slow1_out[4]:
-            np.logical_or.at(fallback, slow_reads1, True)
+        if slow1_out is not None and slow1_out[4].any():
+            np.logical_or.at(fallback, slow1_ls.ridx[slow1_out[4]], True)
         # sel falls back to the slow0 set when no dir1 lanes ran at all
         # (matching the round-2 engine's `slow1_out is not None` gate)
         in_slow1 = np.zeros(B, bool)

@@ -59,6 +59,10 @@ class ClassifyEngine:
         self.loc = Locator(idx)
         self.q_mem, self.q_lv = mapq_tables(len(idx.ref_bin) * 4)
         self._tls = threading.local()
+        # reads the native row driver punted to the per-read python
+        # oracle (M3 chaining / cap overflows); in-process paths only —
+        # fork-pool workers count in their own process
+        self.n_fallback = 0
         self.state = StreamState()
         self._pool = None
         self._pool_threads = 0
@@ -259,6 +263,7 @@ class ClassifyEngine:
                         output_seq)
                     for i, r in enumerate(chunk):
                         if meta[i, 0] < 0:
+                            self.n_fallback += 1
                             self.state.max_read_l = premax[lo + i]
                             rr = self.classify_read(r.name, r.seq, r.qual)
                             out.append(format_result(rr, self.idx.ref_name,
@@ -270,6 +275,7 @@ class ClassifyEngine:
             meta, chains = native.classify_batch(dp, seqs, lens, effs)
             for i, r in enumerate(chunk):
                 if meta[i, 0] < 0:
+                    self.n_fallback += 1
                     self.state.max_read_l = premax[lo + i]
                     rr = self.classify_read(r.name, r.seq, r.qual)
                 else:

@@ -200,6 +200,11 @@ class MeshClassifier(DeviceClassifier):
                                 dix.hash13, codes_fr, buf_len, pre13,
                                 dix.q_mem, dix.q_lv, *lane_args)
 
+    def _pack_cap_local(self, NB):
+        # per-shard pack capacity (base offsets are shard-local before
+        # _globalize_base)
+        return 2 * NB // self.n_dp
+
     def _globalize_base(self, base, NB):
         shard = np.arange(len(base)) // (NB // self.n_dp)
         return base + shard[: len(base)] * (2 * NB // self.n_dp)
