@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ...constants import (
     M3_ANCHOR_THRESHOLD,
+    MAX_ANCHOR_OVERLAP,
     MAX_DIS_MINUS,
     MAX_WAITING_LEN,
 )
@@ -225,3 +226,182 @@ def prep_rescore(sel, chs, ns, pres, ancs):
     n_hash = 2 * n
     anchors4 = jnp.concatenate([anc, pre[:, :, None]], axis=2)
     return chains_rc, n, anchors4, schash, n_hash, over
+
+
+# ---- M3 chaining (src/cly.c:238-323) ---------------------------------------
+M3_A2 = 512     # anchor slots for the M3 sub-batch (fixture max 480)
+
+
+@jax.jit
+def m3_kernel(anc, n_anc):
+    """Sort + sparse-DP chaining for >=50-anchor reads.
+
+    anc: (B, M3_A2, AF2) int32 in gold insertion order; n_anc: (B,).
+    Returns (chains, n_out, pre, ovf) like chain_kernel, with `pre`
+    indices referring to the ORIGINAL anchor slots (the rescore walks
+    them through the unsorted anchor array).
+
+    Mirrors gold chain_insert_m3 exactly: stable ascending sort by
+    (ref_id, direction, ref_offset-as-u32); runs split on ref/dir
+    change or a >=2000 u32 offset gap; per-node DP scans predecessors
+    descending with the reference's continue/break ladder (the two
+    break conditions exclude every earlier slot); path aggregates
+    (sum_score/anchor_number/indel/with_top/q_st/t_st) accumulate
+    forward along the chosen pre-links, which equals the reference's
+    backtrack sums. One chain per run (its max-score node, first node
+    on ties), then the shared resolve_tree sort/truncation.
+    """
+    B, A2, _ = anc.shape
+    lanes = jnp.arange(B, dtype=I32)
+    slot = jnp.arange(A2, dtype=I32)[None, :]
+    valid = slot < n_anc[:, None]
+
+    # lexicographic stable sort by (valid-first, ref, dir, roff-as-u32)
+    # via successive stable argsorts, least-significant key first
+    # (x64 is disabled, so no composite int64 key)
+    k_minor = anc[:, :, A_ROFF].astype(U32)
+    ord_a = jnp.argsort(k_minor, axis=1, stable=True).astype(I32)
+    k_major = anc[:, :, A_REF] * 2 + anc[:, :, A_DIR]
+    k_major = jnp.where(valid, k_major, jnp.int32(1 << 30))
+    k_major_s = jnp.take_along_axis(k_major, ord_a, axis=1)
+    ord_b = jnp.argsort(k_major_s, axis=1, stable=True).astype(I32)
+    order = jnp.take_along_axis(ord_a, ord_b, axis=1)
+    g = lambda col: jnp.take_along_axis(anc[:, :, col], order, axis=1)
+    iir, roff, mlen = g(A_IIR), g(A_ROFF), g(A_MLEN)
+    score, ref, dirc = g(A_SCORE), g(A_REF), g(A_DIR)
+    useless = g(A_USELESS)
+    svalid = jnp.take_along_axis(valid, order, axis=1)
+
+    same = ((ref[:, 1:] == ref[:, :-1]) & (dirc[:, 1:] == dirc[:, :-1])
+            & (((roff[:, 1:] - roff[:, :-1]).astype(U32) < U32(2000)))
+            & svalid[:, 1:])
+    new_run = jnp.concatenate(
+        [jnp.ones((B, 1), bool), ~same], axis=1)
+    run_id = jnp.cumsum(new_run.astype(I32), axis=1) - 1
+
+    NEG = jnp.int32(-(1 << 30))
+    # A_USELESS column bits: bit0 anchor_useless, bit1 duplicate
+    # (duplicate anchors contribute 1 to chain sums, src/cly.c:97)
+    dup = (useless >> 1) & 1
+    eff = jnp.where(dup == 1, 1, score)
+
+    def body(ci, st):
+        (score_v, pre, p_sum, p_cnt, p_ind, p_top, p_qst, p_tst) = st
+        c_iir = iir[:, ci]
+        c_roff = roff[:, ci]
+        c_mlen = mlen[:, ci]
+        c_on = svalid[:, ci]
+        max_t = c_roff + MAX_ANCHOR_OVERLAP           # u32 bit wrap
+        max_q = c_iir + MAX_ANCHOR_OVERLAP
+        prior = (slot < ci) & (run_id == run_id[:, ci][:, None])
+        ov_q = (iir + mlen).astype(U32) > max_q[:, None].astype(U32)
+        ov_t = (roff + mlen).astype(U32) > max_t[:, None].astype(U32)
+        pass_ov = ~ov_q & ~ov_t
+        brk = pass_ov & (
+            ((iir + 1000).astype(U32) < max_q[:, None].astype(U32))
+            | ((roff + 1000).astype(U32) < max_t[:, None].astype(U32)))
+        brk_slot = jnp.max(jnp.where(brk & prior, slot, -1), axis=1)
+        indel = iir - roff - (max_q - max_t)[:, None]
+        ok = (prior & pass_ov & (slot > brk_slot[:, None])
+              & (jnp.abs(indel) <= 200))
+        new_s = (score_v + c_mlen[:, None] - (jnp.abs(indel) >> 4)
+                 - ((max_q[:, None] - iir).astype(U32) >> 8).astype(I32))
+        new_s = jnp.where(ok, new_s, NEG)
+        m = jnp.max(new_s, axis=1)
+        # C scans descending with strict >: final pre = LARGEST slot
+        # achieving the max, only when it beats the node's own score
+        best = jnp.max(jnp.where(new_s == m[:, None], slot, -1), axis=1)
+        take = c_on & (m > score[:, ci])
+        pre_ci = jnp.where(take, best, -1)
+        sv_ci = jnp.where(take, m, score[:, ci])
+        bb = jnp.clip(best, 0, A2 - 1)
+        pe = eff[:, ci]
+        # the reference's backtrack (src/cly.c:296-305) adds `pre`
+        # BEFORE advancing: the max anchor counts twice and the path's
+        # FIRST anchor never counts (same for with_top). Forward form:
+        # nodes carry the sum/top over a1..ai (a0 excluded); the chain
+        # emit adds the max node once more.
+        p_sum_ci = jnp.where(take, p_sum[lanes, bb] + pe, 0)
+        p_cnt_ci = jnp.where(take, p_cnt[lanes, bb], 0) + 1
+        d_ind = (c_iir - iir[lanes, bb]) - (c_roff - roff[lanes, bb])
+        p_ind_ci = jnp.where(take, p_ind[lanes, bb] + d_ind, 0)
+        p_top_ci = jnp.where(
+            take,
+            p_top[lanes, bb] | ((useless[:, ci] & 1) == 0).astype(I32), 0)
+        p_qst_ci = jnp.where(take, p_qst[lanes, bb], c_iir)
+        p_tst_ci = jnp.where(take, p_tst[lanes, bb], c_roff)
+        upd = lambda a, v: a.at[:, ci].set(jnp.where(c_on, v, a[:, ci]))
+        return (upd(score_v, sv_ci), upd(pre, pre_ci), upd(p_sum, p_sum_ci),
+                upd(p_cnt, p_cnt_ci), upd(p_ind, p_ind_ci),
+                upd(p_top, p_top_ci), upd(p_qst, p_qst_ci),
+                upd(p_tst, p_tst_ci))
+
+    z = jnp.zeros((B, A2), I32)
+    score_v = jnp.where(svalid, score, NEG)
+    st = (score_v, z - 1, z, svalid.astype(I32),
+          z, z, iir, roff)
+    st = jax.lax.fori_loop(1, A2, body, st)
+    # slot 0 keeps its init values (own score, no pre)
+    score_v, pre_s, p_sum, p_cnt, p_ind, p_top, p_qst, p_tst = st
+    score_v = jnp.where(svalid, score_v, NEG)
+
+    # per-run max: C takes the FIRST node (ascending) achieving the max.
+    # Two scatter passes (runs are contiguous slot ranges): max score
+    # per run, then min slot among the achievers. Only runs with a
+    # valid member count (padding slots inflate run_id).
+    n_runs = jnp.max(jnp.where(svalid, run_id, -1), axis=1) + 1
+    rid_c = jnp.clip(run_id, 0, A2 - 1)
+    rmax = jnp.full((B, A2), NEG, I32)
+    rmax = rmax.at[lanes[:, None], rid_c].max(
+        jnp.where(svalid, score_v, NEG))
+    achieves = svalid & (score_v == rmax[lanes[:, None], rid_c])
+    bslot = jnp.full((B, A2), A2, I32)
+    bslot = bslot.at[lanes[:, None], rid_c].min(
+        jnp.where(achieves, slot, A2))
+    best_slot = bslot
+    run_on = (slot < n_runs[:, None]) & (rmax > NEG) & (best_slot < A2)
+
+    bs = jnp.clip(best_slot, 0, A2 - 1)
+    gb = lambda a: a[lanes[:, None], bs]
+    ch_all = jnp.stack([
+        gb(ref), gb(roff) - gb(iir), gb(p_sum) + gb(eff), gb(p_cnt),
+        gb(dirc),
+        gb(p_top) | ((gb(useless) & 1) == 0).astype(I32),
+        gb(p_tst), gb(roff) + gb(mlen), gb(p_qst),
+        gb(iir) + gb(mlen), gb(p_ind),
+        jnp.take_along_axis(order, bs, axis=1),   # cur: ORIGINAL slot
+        slot + jnp.zeros((B, 1), I32)], axis=2)
+    # pre-links in original slot space
+    pre_orig = jnp.full((B, A2), -1, I32)
+    po = jnp.where(pre_s >= 0,
+                   jnp.take_along_axis(
+                       order, jnp.clip(pre_s, 0, A2 - 1), axis=1), -1)
+    pre_orig = pre_orig.at[lanes[:, None], order].set(po)
+
+    # resolve_tree sort + truncation over the run-chains
+    n = jnp.minimum(n_runs, A2)
+    on = run_on
+    score2 = (ch_all[:, :, H_SUM]
+              + ((ch_all[:, :, H_QED] - ch_all[:, :, H_QST]) << 1)
+              - (ch_all[:, :, H_INDEL] << 2))
+    big = jnp.int32(1 << 30)
+    k2 = jnp.where(on, -score2, big)
+    ord1 = jnp.argsort(k2, axis=1, stable=True).astype(I32)
+    top1 = jnp.take_along_axis(ch_all[:, :, H_TOP], ord1, axis=1)
+    on1 = jnp.take_along_axis(on.astype(I32), ord1, axis=1)
+    k1 = jnp.where(on1 > 0, 1 - top1, 2)
+    ord2 = jnp.argsort(k1, axis=1, stable=True).astype(I32)
+    order2 = jnp.take_along_axis(ord1, ord2, axis=1)
+    chs = jnp.take_along_axis(ch_all, order2[:, :, None], axis=1)
+
+    base = jnp.minimum(5, n)
+    topm = chs[:, :, H_TOP] > 0
+
+    def trunc(s, rst):
+        grow = (slot[0, s] == rst) & (s < n) & topm[:, s]
+        return jnp.where(grow, rst + 1, rst)
+
+    rst = jax.lax.fori_loop(5, A2, trunc, base)
+    n_out = jnp.minimum(rst, n)
+    ovf = n_out > C2
+    return chs[:, :C2], jnp.minimum(n_out, C2), pre_orig, ovf
