@@ -405,3 +405,21 @@ def m3_kernel(anc, n_anc):
     n_out = jnp.minimum(rst, n)
     ovf = n_out > C2
     return chs[:, :C2], jnp.minimum(n_out, C2), pre_orig, ovf
+
+
+@jax.jit
+def m3_chain_step(packed, gidx, n_anc):
+    """chain_step for the >=50-anchor sub-batch: anchors gathered from
+    the ladder pack at M3_A2 width, chained with m3_kernel. Same output
+    contract as chain_step (pre in anchor-slot space, anc3 for the
+    rescore prep)."""
+    P = packed.shape[0]
+    ext = jnp.concatenate([packed, jnp.zeros((1, packed.shape[1]), I32)], 0)
+    gi = jnp.where(gidx >= 0, gidx, P)
+    rows = ext[gi]                                   # (Bm, M3_A2, 13)
+    anc = jnp.stack([rows[:, :, P_IIR], rows[:, :, P_ROFF],
+                     rows[:, :, P_MLEN], rows[:, :, P_SCORE],
+                     rows[:, :, P_REF], rows[:, :, P_DIR],
+                     rows[:, :, P_USELESS]], axis=2)
+    chains, n_out, pre, ovf = m3_kernel(anc, n_anc)
+    return chains, n_out, pre, ovf, anc[:, :, :3]

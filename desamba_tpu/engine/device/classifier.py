@@ -25,8 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ...constants import (FORWARD, MIN_READ_LEN, REVERSE,
-                           SEED_RANGE, STEP_EK)
+from ...constants import (FORWARD, M3_ANCHOR_THRESHOLD, MIN_READ_LEN,
+                           REVERSE, SEED_RANGE, STEP_EK)
 from ...index.kmers import CLY_BIT
 from ...io import native
 from ..gold.classify import ClassifyEngine, Options, ReadResult, StreamState
@@ -299,6 +299,12 @@ class DeviceClassifier:
     def _k_chain(self, packed, gidx, nanc):
         return dc.chain_step(packed, jnp.asarray(gidx), jnp.asarray(nanc))
 
+    def _k_chain_m3(self, packed, gidx, nanc):
+        # the M3 sub-batch is small (m3 reads are rare); it runs
+        # replicated even on a mesh (GSPMD gathers the dp-sharded pack)
+        return dc.m3_chain_step(packed, jnp.asarray(gidx),
+                                jnp.asarray(nanc))
+
     def _k_prep(self, sel, chs3, ns3, pre3, anc3):
         return dc.prep_rescore(jnp.asarray(sel), chs3, ns3, pre3, anc3)
 
@@ -347,11 +353,13 @@ class DeviceClassifier:
         kcnt = np.where(keep & ~fallback_rows[lane_read], cnt, 0)
         tot = np.bincount(lane_read, weights=kcnt,
                           minlength=B_pad).astype(np.int64)
-        over = tot > A2
-        if over.any():
-            fallback_rows |= over
-            kcnt = np.where(fallback_rows[lane_read], 0, kcnt)
-            tot[over] = 0
+        # (A2, M3_A2] anchors -> the device M3 sub-batch; beyond -> host
+        wide = tot > A2
+        fallback_rows |= tot > dc.M3_A2
+        if wide.any():
+            kcnt = np.where(wide[lane_read] | fallback_rows[lane_read],
+                            0, kcnt)
+            tot[wide] = 0
         # flat destination: read_row * A2 + prefix within read
         pre = np.cumsum(kcnt) - kcnt
         read_start = np.zeros(B_pad, np.int64)
@@ -363,6 +371,38 @@ class DeviceClassifier:
         dest = _csr_expand(lane_read.astype(np.int64) * A2 + within, kcnt)
         gidx.reshape(-1)[dest] = rowids
         nanc[: len(tot)] = tot
+        return gidx, nanc, wide & ~fallback_rows
+
+    def _gidx_wide(self, rows, lane_read, base, cnt, flag, apply_skip,
+                   fallback_rows):
+        """(len(rows), M3_A2) gather map for the M3 sub-batch reads."""
+        A2w = dc.M3_A2
+        Bm = len(rows)
+        sub = np.zeros(int(lane_read.max(initial=-1)) + 2, np.int64) - 1
+        sub[rows] = np.arange(Bm)
+        gidx = np.full((Bm, A2w), -1, np.int32)
+        nanc = np.zeros((Bm,), np.int32)
+        if len(lane_read) == 0 or Bm == 0:
+            return gidx, nanc
+        if apply_skip:
+            keep = self._keep_with_skip(lane_read, flag)
+        else:
+            keep = np.ones(len(lane_read), bool)
+        m = (sub[lane_read] >= 0) & keep & ~fallback_rows[lane_read]
+        lr = sub[lane_read[m]]
+        kcnt = np.minimum(cnt[m], A_CAP)
+        bs = base[m]
+        tot = np.bincount(lr, weights=kcnt, minlength=Bm).astype(np.int64)
+        pre = np.cumsum(kcnt) - kcnt
+        read_start = np.zeros(Bm, np.int64)
+        first = np.ones(len(lr), bool)
+        first[1:] = lr[1:] != lr[:-1]
+        read_start[lr[first]] = pre[first]
+        within = pre - read_start[lr]
+        rowids = _csr_expand(bs, kcnt)
+        dest = _csr_expand(lr.astype(np.int64) * A2w + within, kcnt)
+        gidx.reshape(-1)[dest] = rowids
+        nanc[:] = np.minimum(tot, A2w)
         return gidx, nanc
 
     # ---- main entry --------------------------------------------------------
@@ -467,23 +507,63 @@ class DeviceClassifier:
                     np.zeros((B_pad,), bool)
             out = self._k_chain(packed, gidx, nanc)
             ch, n, pre, ovf, anc3 = out
-            n_h = np.asarray(n)
-            dec = np.asarray(ch[:, 0, (dc.H_ANUM, dc.H_SUM)])
+            # writable copies: the M3 stage scatters its results in
+            n_h = np.array(n)
+            dec = np.array(ch[:, 0, (dc.H_ANUM, dc.H_SUM)])
             ovf_h = np.asarray(ovf)
             return out, n_h, dec, ovf_h
 
+        m3_sets = [None, None, None]   # per chain stage
+
+        def m3_stage(stage, packed, wide_mask, nanc_main, ovf_h, n_h, dec,
+                     lane_read, base_a, cnt_a, flag_a, apply_skip):
+            """Route >=50-anchor reads (kernel M3-threshold flag or the
+            gidx wide mask) through the device M3 kernel; residual
+            chain-slot overflows still go to the host oracle."""
+            cand = ((ovf_h & (nanc_main >= M3_ANCHOR_THRESHOLD))
+                    | wide_mask) & ~fallback
+            resid = ovf_h & ~cand
+            fallback[:] |= resid
+            rows = np.flatnonzero(cand)
+            if len(rows) == 0 or packed is None:
+                return
+            gw, nw = self._gidx_wide(rows, lane_read, base_a, cnt_a,
+                                     flag_a, apply_skip, fallback)
+            Bm = _bucket(len(rows), 8)
+            gpad = np.full((Bm, dc.M3_A2), -1, np.int32)
+            gpad[: len(rows)] = gw
+            npad = np.zeros((Bm,), np.int32)
+            npad[: len(rows)] = nw
+            chm, nm, prem, ovfm, anc3m = self._k_chain_m3(packed, gpad,
+                                                          npad)
+            nm_h = np.asarray(nm)
+            ovfm_h = np.asarray(ovfm)
+            decm = np.asarray(chm[:, 0, (dc.H_ANUM, dc.H_SUM)])
+            ok = ~ovfm_h[: len(rows)]
+            fallback[rows[~ok]] = True
+            n_h[rows[ok]] = nm_h[: len(rows)][ok]
+            dec[rows[ok]] = decm[: len(rows)][ok]
+            m3_sets[stage] = dict(
+                map={int(k): i for i, k in enumerate(rows)},
+                ok={int(k) for k in rows[ok]},
+                ch=chm, n=nm, pre=prem, anc3=anc3m, nanc=npad)
+
         # ---- fast chains (device) -----------------------------------------
         if fast_out is not None:
-            gidx_f, nanc_f = self._build_gidx(
+            gidx_f, nanc_f, wide_f = self._build_gidx(
                 B_pad, A2, fast_ls.ridx, fast_out[1], fast_out[2],
                 fast_out[3], True, fallback)
         else:
             gidx_f, nanc_f = None, np.zeros((B_pad,), np.int32)
+            wide_f = np.zeros((B_pad,), bool)
         set_f, n_f, dec_f, ovf_f = chain_stage(
             fast_out[0] if fast_out is not None else None, gidx_f, nanc_f)
+        if fast_out is not None:
+            m3_stage(0, fast_out[0], wide_f, nanc_f, ovf_f, n_f, dec_f,
+                     fast_ls.ridx, fast_out[1], fast_out[2], fast_out[3],
+                     True)
 
         # ---- run_slow decisions + slow dir0 -------------------------------
-        fallback[:B] |= ovf_f[:B]   # M3 / chain-slot overflow
         n0 = n_f[:B]
         run_slow = ((n0 == 0)
                     | ((dec_f[:B, 0] < 5)
@@ -501,19 +581,23 @@ class DeviceClassifier:
         if slow0_out is not None and slow0_out[4].any():
             np.logical_or.at(fallback, slow0_ls.ridx[slow0_out[4]], True)
         if slow0_out is not None:
-            gidx_s0, nanc_s0 = self._build_gidx(
+            gidx_s0, nanc_s0, wide_s0 = self._build_gidx(
                 B_pad, A2, slow0_ls.ridx, slow0_out[1], slow0_out[2],
                 slow0_out[3], False, fallback)
         else:
             gidx_s0, nanc_s0 = None, np.zeros((B_pad,), np.int32)
+            wide_s0 = np.zeros((B_pad,), bool)
         set_s0, n_s0, dec_s0, ovf_s0 = chain_stage(
             slow0_out[0] if slow0_out is not None else None, gidx_s0,
             nanc_s0)
+        if slow0_out is not None:
+            m3_stage(1, slow0_out[0], wide_s0, nanc_s0, ovf_s0, n_s0,
+                     dec_s0, slow0_ls.ridx, slow0_out[1], slow0_out[2],
+                     slow0_out[3], False)
 
         # ---- decide + run slow dir1 ---------------------------------------
         in_slow0 = np.zeros(B, bool)
         in_slow0[slow_reads0] = True
-        fallback[:B] |= in_slow0 & ovf_s0[:B]
         want1 = in_slow0 & ~fallback[:B] & (
             both | (n_s0[:B] == 0) | (dec_s0[:B, 0] < 5))
         slow_reads1 = np.flatnonzero(want1)
@@ -543,15 +627,18 @@ class DeviceClassifier:
             ct = np.concatenate([slow0_out[2][m0], slow1_out[2]])
             fl = np.concatenate([slow0_out[3][m0], slow1_out[3]])
             o = np.lexsort((part, lr))
-            gidx_s1, nanc_s1 = self._build_gidx(
+            gidx_s1, nanc_s1, wide_s1 = self._build_gidx(
                 B_pad, A2, lr[o], bs[o], ct[o], fl[o], False, fallback)
             packed01 = jnp.concatenate([slow0_out[0], slow1_out[0]], axis=0)
         else:
             gidx_s1, nanc_s1 = None, np.zeros((B_pad,), np.int32)
+            wide_s1 = np.zeros((B_pad,), bool)
             packed01 = None
         set_s1, n_s1, dec_s1, ovf_s1 = chain_stage(packed01, gidx_s1,
                                                    nanc_s1)
-        fallback[:B] |= in_slow1 & ovf_s1[:B]
+        if packed01 is not None:
+            m3_stage(2, packed01, wide_s1, nanc_s1, ovf_s1, n_s1, dec_s1,
+                     lr[o], bs[o], ct[o], fl[o], False)
 
         # ---- device rescore over the whole batch --------------------------
         sel_np = np.zeros((B_pad,), np.int32)
@@ -560,6 +647,16 @@ class DeviceClassifier:
                               np.where(sel_np == 1, nanc_s0, nanc_f))
         live_np = np.zeros((B_pad,), bool)
         live_np[:B] = ~fallback[:B]
+        # reads whose SELECTED stage ran the M3 kernel take the M3
+        # sub-batch prep/rescore path (wide anchors)
+        m3_final = []
+        for k in range(B):
+            st = m3_sets[sel_np[k]]
+            if (not fallback[k]) and st is not None and k in st["ok"]:
+                m3_final.append((k, int(sel_np[k]), st["map"][k]))
+        m3_row = {k: u for u, (k, _, _) in enumerate(m3_final)}
+        for k in m3_row:
+            live_np[k] = False
         chs3 = jnp.stack([set_f[0], set_s0[0], set_s1[0]])
         ns3 = jnp.stack([set_f[1], set_s0[1], set_s1[1]])
         pre3 = jnp.stack([set_f[2], set_s0[2], set_s1[2]])
@@ -577,6 +674,53 @@ class DeviceClassifier:
         n_h = np.asarray(n_rc)
         over_h = np.asarray(over)
 
+        # ---- M3 sub-batch prep + rescore (M3_A2-wide anchors) --------------
+        if m3_final:
+            dix = self.dix
+            Bmu = _bucket(len(m3_final), 8)
+            chU = jnp.zeros((Bmu, dc.C2, dc.CH_NF), jnp.int32)
+            preU = jnp.full((Bmu, dc.M3_A2), -1, jnp.int32)
+            ancU = jnp.zeros((Bmu, dc.M3_A2, 3), jnp.int32)
+            nU = np.zeros((Bmu,), np.int32)
+            nancU = np.zeros((Bmu,), np.int32)
+            rowsU = np.zeros((Bmu,), np.int32)
+            rowsU[: len(m3_final)] = [k for k, _, _ in m3_final]
+            for s in (0, 1, 2):
+                us = [u for u, (_, ss, _) in enumerate(m3_final) if ss == s]
+                if not us:
+                    continue
+                js = np.array([m3_final[u][2] for u in us], np.int32)
+                ua = np.array(us, np.int32)
+                st = m3_sets[s]
+                chU = chU.at[ua].set(st["ch"][js])
+                preU = preU.at[ua].set(st["pre"][js])
+                ancU = ancU.at[ua].set(st["anc3"][js])
+                nU[ua] = np.asarray(st["n"])[js]
+                nancU[ua] = st["nanc"][js]
+            three = lambda x: jnp.stack([x, x, x])
+            selU = jnp.zeros((Bmu,), jnp.int32)
+            (chains_rcU, n_rcU, anchors4U, schashU, n_hashU,
+             overU) = dc.prep_rescore(selU, three(chU),
+                                      three(jnp.asarray(nU)), three(preU),
+                                      three(ancU))
+            liveU = np.zeros((Bmu,), bool)
+            liveU[: len(m3_final)] = True
+            n_rcU = jnp.where(jnp.asarray(liveU), n_rcU, 0)
+            ru = jnp.asarray(rowsU)
+            inpU = dr.RescoreIn(
+                chains=chains_rcU, n_chains=n_rcU, anchors=anchors4U,
+                schash=schashU, n_hash=n_hashU, codes_fr=codes_fr[ru],
+                buf_len=buf_len[ru],
+                read_len=jnp.asarray(rlen_np[rowsU]))
+            chains_oU, fbU, _rU, _iU = dr.rescore_kernel(
+                inpU, dix.ref_bin, dix.ref_off, dix.ref_len_arr,
+                n_bases=dix.n_bases, bf=max(8, Bmu // 4),
+                bp=max(8, Bmu // 4), pp=8)
+            chains_hU = np.asarray(chains_oU)
+            fb_hU = np.asarray(fbU)
+            n_hU = np.asarray(n_rcU)
+            over_hU = np.asarray(overU)
+
         # ---- host finish, in input order ----------------------------------
         def coord(v):
             # kernel coordinates are uint32 bit patterns in int32; gold's
@@ -586,17 +730,26 @@ class DeviceClassifier:
         from ..gold.rescore import post_finish_native
         for k, i in enumerate(todo):
             res = results[i]
-            if (fallback[k] or over_h[k] or (n_h[k] > 0 and fb_h[k])):
+            if k in m3_row:   # M3 sub-batch outputs for this read
+                u = m3_row[k]
+                ch_k, n_k = chains_hU[u], n_hU[u]
+                fb_k, ov_k = fb_hU[u], over_hU[u]
+                na_k = nancU[u]
+            else:
+                ch_k, n_k = chains_h[k], n_h[k]
+                fb_k, ov_k = fb_h[k], over_h[k]
+                na_k = nanc_final[k]
+            if (fallback[k] or ov_k or (n_k > 0 and fb_k)):
                 g = self.gold
                 g.state = self.state
                 results[i] = g.classify_read(recs[i].name, recs[i].seq,
                                              recs[i].qual)
                 self.n_fallback += 1
                 continue
-            res.anchors = [None] * int(nanc_final[k])
+            res.anchors = [None] * int(na_k)
             chains = []
-            for ci in range(int(n_h[k])):
-                row = chains_h[k, ci]
+            for ci in range(int(n_k)):
+                row = ch_k[ci]
                 chains.append(Chain(
                     ref_id=int(row[dr.C_REF]), q_t_dis=0,
                     sum_score=int(row[dr.C_SUM]),

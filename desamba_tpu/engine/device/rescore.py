@@ -39,7 +39,9 @@ U32 = jnp.uint32
 K9 = S_A_KMER_L
 
 C_CAP = 8        # chains per read
-A_CAP = 64       # anchors per read
+A_CAP = 64       # anchors per read (main batch; the M3 sub-batch runs
+#                  the same kernel at chain.M3_A2 — shapes are dynamic
+#                  on inp.anchors.shape[1])
 S_CAP = 128      # sms nodes per extension
 P_CAP = 176      # 9-mer probes per window fetch ((704-9)/4)
 H_CAP = 4        # candidate read positions per probe value
@@ -399,8 +401,9 @@ def _proc_micro(st: VMState, inp: RescoreIn, rows=None):
 
     # ---- M_MID control: gap advance / completion --------------------------
     m_mid = (st.mode == M_MID) & ~st.need_fetch & (st.cur_sms >= st.n_sms)
-    pre = inp.anchors[rows, jnp.clip(st.mid_cur, 0, A_CAP - 1), 3]
-    cur_m = inp.anchors[rows, jnp.clip(st.mid_cur, 0, A_CAP - 1), 2]
+    a_cap = inp.anchors.shape[1]   # 64 main batch / 512 M3 sub-batch
+    pre = inp.anchors[rows, jnp.clip(st.mid_cur, 0, a_cap - 1), 3]
+    cur_m = inp.anchors[rows, jnp.clip(st.mid_cur, 0, a_cap - 1), 2]
     terminal = m_mid & (pre < 0)
     mid_score2 = jnp.where(terminal, st.mid_score + cur_m - K9 + 1,
                            st.mid_score)
@@ -666,9 +669,10 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
     act = act & ~fwrap
 
     # ---- MID gap geometry --------------------------------------------------
-    mc = jnp.clip(st.mid_cur, 0, A_CAP - 1)
+    a_cap = inp.anchors.shape[1]
+    mc = jnp.clip(st.mid_cur, 0, a_cap - 1)
     cur_a = inp.anchors[rows, mc]          # current c_a
-    pre_i = jnp.clip(cur_a[:, 3], 0, A_CAP - 1)
+    pre_i = jnp.clip(cur_a[:, 3], 0, a_cap - 1)
     pre_a = inp.anchors[rows, pre_i]
     pre_roff3 = pre_a[:, 1] - 3
     trl = cur_a[:, 1] - (pre_roff3 + pre_a[:, 2]) + 3

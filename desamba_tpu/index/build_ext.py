@@ -197,6 +197,7 @@ def build_index_external(fasta_path: str, workdir: str | None = None,
     out_cnt = _popcount4(out_bits)
     is_start = (in_cnt != 1) | head
     is_end = (out_cnt != 1) | tail
+    del in_cnt, out_cnt, head, tail
     # neighbor propagation via memmap binary search: in-neighbors of a
     # marked-start kmer become ends; out-neighbors of a marked-end
     # kmer become starts (cutOffMulEdges + handleFrstLastKmer)
@@ -219,8 +220,11 @@ def build_index_external(fasta_path: str, workdir: str | None = None,
     progress(f"{n_uni} unitigs (external)")
 
     # ---- successor table + unitig walk --------------------------------------
-    ob = out_bits.astype(np.int16)
-    low = np.where(ob & 1, 0, np.where(ob & 2, 1, np.where(ob & 4, 2, 3)))
+    z8 = np.zeros((), np.int8)
+    low = np.where(out_bits & 1, z8,
+                   np.where(out_bits & 2, z8 + 1,
+                            np.where(out_bits & 4, z8 + 2, z8 + 3)))
+    del marked_start, marked_end
     succ = _mm(workdir, "succ", np.int64, (n_kmer,))
     for lo in range(0, n_kmer, CHUNK):
         hi = min(n_kmer, lo + CHUNK)
@@ -248,7 +252,7 @@ def build_index_external(fasta_path: str, workdir: str | None = None,
     assert n_uni_w == n_uni
     start_locs = np.flatnonzero(is_start)
     prev_char[start_locs[0]] = CHAR_DOLLAR
-    del succ, low, ob, in_bits, out_bits, head, tail, in_cnt, out_cnt
+    del succ, low, in_bits, out_bits
     end_locs = np.flatnonzero(is_end)
     uni_len = np.zeros(n_uni + 1, np.uint32)
     uni_len[kmer_uid[end_locs]] = (B_KMER + kmer_off[end_locs]).astype(
@@ -432,8 +436,11 @@ def build_index_external(fasta_path: str, workdir: str | None = None,
         b = (end_kmer_of_uid >> U64((B_KMER - 1 - j) * 2)).astype(
             np.uint8) & 0x3
         text[tail_pos + j] = b
-    ekmer0 = np.zeros(e_kmer_size, np.uint8)
-    ekmer1 = np.zeros(e_kmer_size, np.uint8)
+    # the bit tables themselves reach 2 x 4-16 GB at reference scale —
+    # memmap them so the kernel can write dirty pages back under memory
+    # pressure instead of holding both resident
+    ekmer0 = _mm(keep, "ekmer0", np.uint8, (e_kmer_size,))
+    ekmer1 = _mm(keep, "ekmer1", np.uint8, (e_kmer_size,))
     native.build_exist_tables(np.asarray(text), len_e_kmer, e_hash_mask,
                               ekmer0, ekmer1)
     progress("existence filter (external)")
