@@ -98,3 +98,48 @@ int64_t sort_unique_u64(const uint64_t *vals, int64_t n,
     free(va); free(vb); free(ia); free(ib);
     return nu;
 }
+
+/* unitig_walk_stream: the external builder's RAM-bounded walk.
+ * succ is int32 (fits n_kmer < 2^31, held in RAM); outputs are emitted
+ * in POSITION order (uid ascending, offset ascending — the walk's own
+ * order), so the big memmapped outputs receive purely sequential
+ * writes: pos2k[text_pos] = kmer index, pos_char[text_pos] = the
+ * position's text char (the kmer's first base; unitig tails are filled
+ * by the python side from the end kmer), prevc_pos[text_pos] = the
+ * row's BWT char stash (prev kmer's first base; '#' at unitig starts).
+ * uni_end_kmer_idx[uid] = index of the unitig's end kmer;
+ * uni_len[uid] = kmer count + 30. Returns n_uni or -1 on a cycle. */
+int64_t unitig_walk_stream(const int32_t *succ, const uint8_t *is_start,
+                           const uint8_t *is_end, const uint8_t *first_base,
+                           int64_t n_kmer, int32_t *pos2k,
+                           uint8_t *prevc_pos, int64_t *uni_end_kmer,
+                           uint32_t *uni_len_out) {
+    int64_t n_uni = 0;
+    int64_t visited = 0;
+    int64_t pos = 0;
+    for (int64_t s = 0; s < n_kmer; s++) {
+        if (!is_start[s]) continue;
+        int64_t u = n_uni++;
+        int64_t cur = s;
+        int64_t dist = 0;
+        pos2k[pos] = (int32_t)cur;
+        prevc_pos[pos] = 4; /* '#' */
+        pos++;
+        visited++;
+        while (!is_end[cur]) {
+            int64_t nxt = succ[cur];
+            if (nxt == cur || dist > n_kmer) return -1;
+            prevc_pos[pos] = first_base[cur];
+            dist++;
+            cur = nxt;
+            pos2k[pos] = (int32_t)cur;
+            pos++;
+            visited++;
+        }
+        uni_end_kmer[u] = cur;
+        uni_len_out[u] = (uint32_t)(dist + 31);
+        pos += 31; /* the end kmer's remaining 30 bases + separator */
+    }
+    if (visited != n_kmer) return -1;
+    return n_uni;
+}

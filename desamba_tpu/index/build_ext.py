@@ -219,22 +219,26 @@ def build_index_external(fasta_path: str, workdir: str | None = None,
     assert int(is_start.sum()) == n_uni, "start/end count mismatch"
     progress(f"{n_uni} unitigs (external)")
 
-    # ---- successor table + unitig walk --------------------------------------
+    # ---- successor table (int32, RAM) + streaming walk ----------------------
+    # A kmer-indexed walk writes ~17 bytes/kmer of RANDOMLY-ordered dirty
+    # pages (the dBG successor permutation) — a writeback death spiral
+    # under a memory cap. Instead the walk emits POSITION-ordered streams
+    # (purely sequential memmap writes) and a later disk-bucketed pass
+    # inverts position -> kmer order.
     z8 = np.zeros((), np.int8)
     low = np.where(out_bits & 1, z8,
                    np.where(out_bits & 2, z8 + 1,
                             np.where(out_bits & 4, z8 + 2, z8 + 3)))
-    del marked_start, marked_end
-    succ = _mm(workdir, "succ", np.int64, (n_kmer,))
+    succ32 = np.empty(n_kmer, np.int32)            # 4 B/kmer, in RAM
     for lo in range(0, n_kmer, CHUNK):
         hi = min(n_kmer, lo + CHUNK)
         sl = slice(lo, hi)
         nxt = ((kmer_v[sl] << U64(2))
                | low[sl].astype(np.uint64)) & mask
-        s = np.searchsorted(kmer_v, nxt)
-        walkable = ~is_end[sl]
-        idxs = np.arange(lo, hi, dtype=np.int64)
-        succ[sl] = np.where(walkable, s, idxs)
+        s = np.searchsorted(kmer_v, nxt).astype(np.int32)
+        idxs = np.arange(lo, hi, dtype=np.int32)
+        succ32[sl] = np.where(is_end[sl], idxs, s)
+    del low
     first_base_k = np.empty(n_kmer, np.uint8)
     for lo in range(0, n_kmer, CHUNK):
         hi = min(n_kmer, lo + CHUNK)
@@ -243,29 +247,66 @@ def build_index_external(fasta_path: str, workdir: str | None = None,
     if not native.available():
         raise RuntimeError("external build requires the native runtime "
                            "(csrc) for the serial unitig walk")
-    kmer_uid = _mm(workdir, "kmer_uid", np.int64, (n_kmer,))
-    kmer_off = _mm(workdir, "kmer_off", np.int64, (n_kmer,))
-    prev_char = _mm(workdir, "prev_char", np.uint8, (n_kmer,))
-    n_uni_w = native.unitig_walk_into(succ, is_start.view(np.uint8),
-                                      is_end.view(np.uint8), first_base_k,
-                                      kmer_uid, kmer_off, prev_char)
-    assert n_uni_w == n_uni
-    start_locs = np.flatnonzero(is_start)
-    prev_char[start_locs[0]] = CHAR_DOLLAR
-    del succ, low, in_bits, out_bits
-    end_locs = np.flatnonzero(is_end)
+    text_len = n_kmer + 31 * n_uni      # kmers + 30 tail bases + 1 sep each
+    pos2k = _mm(workdir, "pos2k", np.int32, (text_len,))
+    for lo in range(0, text_len, CHUNK):
+        pos2k[lo : min(text_len, lo + CHUNK)] = -1
+    prevc_pos = _mm(workdir, "prevc", np.uint8, (text_len,))
+    uni_end_kmer = np.zeros(n_uni, np.int64)
     uni_len = np.zeros(n_uni + 1, np.uint32)
-    uni_len[kmer_uid[end_locs]] = (B_KMER + kmer_off[end_locs]).astype(
-        np.uint32)
-    end_kmer_of_uid = np.zeros(n_uni, U64)
-    end_kmer_of_uid[kmer_uid[end_locs]] = kmer_v[end_locs]
-    start_kmer_of_uid = kmer_v[start_locs]   # RAM: 8 B/unitig
+    n_uni_w = native.unitig_walk_stream(
+        succ32, is_start.view(np.uint8), is_end.view(np.uint8),
+        first_base_k, pos2k, prevc_pos, uni_end_kmer, uni_len)
+    assert n_uni_w == n_uni
+    prevc_pos[0] = CHAR_DOLLAR          # first unitig start stashes '$'
+    del succ32, in_bits, out_bits
+    end_kmer_of_uid = kmer_v[uni_end_kmer]
+    start_kmer_of_uid = kmer_v[np.flatnonzero(is_start)]
     progress("unitig walk (external)")
 
-    # ---- text geometry -------------------------------------------------------
+    # ---- invert pos2k -> kmer_pos (kmer order), disk-bucketed ---------------
     uni_start = np.zeros(n_uni + 1, np.int64)
     np.cumsum(uni_len[:n_uni].astype(np.int64) + 1, out=uni_start[1:])
-    text_len = int(uni_start[n_uni])
+    assert int(uni_start[n_uni]) == text_len
+    kmer_pos = _mm(workdir, "kmer_pos", np.int64, (n_kmer,))
+    SH = max((n_kmer - 1).bit_length() - 8, 1)
+    inv_dir = os.path.join(workdir, "inv")
+    os.makedirs(inv_dir, exist_ok=True)
+    INV_DT = np.dtype([("k", "<i4"), ("p", "<i8")])
+    n_ib = ((n_kmer - 1) >> SH) + 1
+    iw = [open(os.path.join(inv_dir, f"{b:03d}.rec"), "wb",
+               buffering=1 << 20) for b in range(n_ib)]
+    for lo in range(0, text_len, CHUNK):
+        hi = min(text_len, lo + CHUNK)
+        pk = pos2k[lo:hi]
+        m = pk >= 0
+        kid = pk[m]
+        pp = np.arange(lo, hi, dtype=np.int64)[m]
+        bucket = kid >> SH
+        order = np.argsort(bucket, kind="stable")
+        kid, pp, bucket = kid[order], pp[order], bucket[order]
+        bounds = np.searchsorted(bucket, np.arange(n_ib + 1))
+        rec = np.empty(len(kid), INV_DT)
+        rec["k"] = kid
+        rec["p"] = pp
+        for b in range(n_ib):
+            s, t = bounds[b], bounds[b + 1]
+            if t > s:
+                iw[b].write(rec[s:t].tobytes())
+    for w in iw:
+        w.close()
+    for b in range(n_ib):
+        path = os.path.join(inv_dir, f"{b:03d}.rec")
+        rec = np.fromfile(path, INV_DT)
+        os.unlink(path)
+        base = b << SH
+        width = min(n_kmer - base, 1 << SH)
+        local = np.zeros(width, np.int64)
+        local[rec["k"].astype(np.int64) - base] = rec["p"]
+        kmer_pos[base : base + width] = local
+    os.rmdir(inv_dir)
+    progress("position inversion (external)")
+
     n_rows = n_uni + n_kmer + 30 * n_uni
     assert text_len == n_rows, (text_len, n_rows)
 
@@ -352,8 +393,9 @@ def build_index_external(fasta_path: str, workdir: str | None = None,
         hi = min(n_kmer, lo + CHUNK)
         nb = np.searchsorted(sp_aligned, kmer_v[lo:hi], side="right")
         r = np.arange(lo, hi, dtype=np.int64) + nb + n_uni
-        row_char[r] = prev_char[lo:hi]
-        row_pos[r] = uni_start[kmer_uid[lo:hi]] + kmer_off[lo:hi]
+        kp = kmer_pos[lo:hi]
+        row_char[r] = prevc_pos[kp]
+        row_pos[r] = kp
     progress("BWT rows merged (external)")
 
     # ---- hash13 --------------------------------------------------------------
@@ -426,11 +468,13 @@ def build_index_external(fasta_path: str, workdir: str | None = None,
     e_hash_mask = (1 << mask_bits) - 1
     single_base_max = int(SINGLE_BASE_MAX_RATIO * len_e_kmer)
     text = _mm(workdir, "text", np.uint8, (text_len,))
-    text[:] = 4
-    for lo in range(0, n_kmer, CHUNK):
-        hi = min(n_kmer, lo + CHUNK)
-        text[uni_start[kmer_uid[lo:hi]] + kmer_off[lo:hi]] = \
-            first_base_k[lo:hi]
+    for lo in range(0, text_len, CHUNK):
+        hi = min(text_len, lo + CHUNK)
+        pk = pos2k[lo:hi]
+        ch = np.full(hi - lo, 4, np.uint8)
+        m = pk >= 0
+        ch[m] = first_base_k[pk[m]]
+        text[lo:hi] = ch
     tail_pos = uni_start[:n_uni] + uni_len[:n_uni].astype(np.int64) - B_KMER
     for j in range(1, B_KMER):
         b = (end_kmer_of_uid >> U64((B_KMER - 1 - j) * 2)).astype(

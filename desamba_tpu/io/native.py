@@ -85,6 +85,11 @@ def _build():
     lib.unitig_walk.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.unitig_walk_stream.restype = ctypes.c_int64
+    lib.unitig_walk_stream.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
     lib.resolve_tree_m2.restype = ctypes.c_int64
     lib.resolve_tree_m2.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -277,6 +282,22 @@ def unitig_walk(succ: np.ndarray, is_start: np.ndarray,
     if n_uni < 0:
         return None
     return uid, off, pc, int(n_uni)
+
+
+def unitig_walk_stream(succ32, is_start, is_end, first_base, pos2k,
+                       prevc_pos, uni_end_kmer, uni_len_out):
+    """Position-ordered streaming walk (csrc/buildhot.c) for the
+    external builder: sequential writes into the memmapped outputs,
+    int32 successor table in RAM. Returns n_uni."""
+    n = len(succ32)
+    n_uni = _LIB.unitig_walk_stream(
+        succ32.ctypes.data, is_start.ctypes.data, is_end.ctypes.data,
+        first_base.ctypes.data, n, pos2k.ctypes.data,
+        prevc_pos.ctypes.data, uni_end_kmer.ctypes.data,
+        uni_len_out.ctypes.data)
+    if n_uni < 0:
+        raise RuntimeError("unitig walk found a start-less cycle")
+    return int(n_uni)
 
 
 def unitig_walk_into(succ, is_start, is_end, first_base, uid, off, pc):
