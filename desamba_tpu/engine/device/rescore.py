@@ -86,21 +86,54 @@ class RescoreIn(NamedTuple):
     read_len: jnp.ndarray   # (B,)
 
 
-def _ref_chars(ref_bin, n_bases, offset, width):
+REF_ROW_B = 256   # packed-ref row width in bytes for the window fetch
+
+
+def _ref_as_rows(ref_bin):
+    """Reshape the packed reference into (NR, REF_ROW_B) rows (padded).
+
+    Gathers on this chip cost ~7-14 ns per DESCRIPTOR (per gathered
+    row), nearly independent of row width up to ~256 B — so a window
+    fetch should be 2 row-gathers, not width/4 element-gathers. Built
+    once per kernel call outside the while_loop.
+
+    Sharded tables (parallel/sharded.py) expose the same row view via
+    as_rows: the row gather runs shard-locally + psum over idx."""
+    if hasattr(ref_bin, "as_rows"):
+        return ref_bin.as_rows(REF_ROW_B)
+    n = ref_bin.shape[0]
+    pad = (-n) % REF_ROW_B
+    return jnp.pad(ref_bin, (0, pad)).reshape(-1, REF_ROW_B)
+
+
+def _ref_chars(ref_rows, ref_bin, n_bases, offset, width):
     """(N, width) ref chars at offset..offset+width-1 (gold get_ref:
     negative start clamps to 0 first, then indices clip).
 
-    Gathers packed BYTES (width/4 + 1 per lane) instead of one byte per
-    char: gathers cost ~12 ns/element on this chip regardless of element
-    width, so pulling 4 chars per gather is a 4x cut on the dominant
-    term. Alignment is resolved with an elementwise 4-way select; chars
-    past n_bases replicate the last char (gold clip semantics)."""
+    Two REF_ROW_B row-gathers per lane cover width/4 + alignment bytes;
+    the per-lane byte alignment is resolved with a log2 funnel of
+    static shifts (8 stages of elementwise where), and the char-in-byte
+    alignment with a 4-way select. Chars past n_bases replicate the
+    last char (gold clip semantics)."""
+    N = offset.shape[0]
     off0 = jnp.maximum(offset, 0)
     nb = width // 4 + 1
+    assert nb + REF_ROW_B - 1 <= 2 * REF_ROW_B
     b0 = off0 >> 2
-    bidx = jnp.clip(b0[:, None] + jnp.arange(nb, dtype=I32)[None, :], 0,
-                    ref_bin.shape[0] - 1)
-    byts = ref_bin[bidx]
+    r0 = b0 // REF_ROW_B
+    NR = ref_rows.shape[0]
+    pair = jnp.concatenate(
+        [ref_rows[jnp.clip(r0, 0, NR - 1)],
+         ref_rows[jnp.clip(r0 + 1, 0, NR - 1)]], axis=1)  # (N, 2*ROW)
+    shift = b0 - r0 * REF_ROW_B  # 0..ROW-1
+    x = pair
+    s = REF_ROW_B >> 1
+    while s >= 1:
+        sel = (shift & s) != 0
+        x = jnp.where(sel[:, None],
+                      jnp.pad(x[:, s:], ((0, 0), (0, s))), x)
+        s >>= 1
+    byts = x[:, :nb]
     chars = jnp.stack([(byts >> 6) & 3, (byts >> 4) & 3,
                        (byts >> 2) & 3, byts & 3], axis=2)
     chars = chars.reshape(chars.shape[0], 4 * nb)  # chars at 4*b0 ...
@@ -114,51 +147,32 @@ def _ref_chars(ref_bin, n_bases, offset, width):
     return jnp.where(idx >= n_bases, last, win)
 
 
-RK_COARSE = 64   # coarse sample points per (read, dir) k-mer table
+def _probe_hits(rk_row, rk_n, pv, p_on):
+    """All read positions whose 9-mer equals each probe value, by a
+    full compare-scan against the lane's UNSORTED per-position 9-mer
+    row (element scans cost ~0.001 ns on this chip vs ~13.5 ns per
+    gathered element, so scanning the whole K-row beats every
+    binary-search/gather scheme for K up to ~10^4 — and it removes the
+    per-batch argsort entirely).
 
-
-def _searchsorted_rows(vals, dslot, n_valid, queries, side_left: bool,
-                       row_map=None, coarse=None):
-    """Per-row binary search: vals (B, 2, K) sorted along axis 2, row
-    selected by row_map (N,) (identity when None) then dslot (N,);
-    queries (N, P). The direction select stays inside the gather so no
-    (N, K) row is ever materialized.
-
-    With `coarse` ((B, 2, RK_COARSE) strided samples of vals, from
-    _build_rk_tables), the search first locates a stride-wide bucket by
-    an ELEMENTWISE compare against the per-lane coarse row (one
-    RK_COARSE-gather per lane instead of a gather per query per step),
-    then binary-searches only within the bucket: ~6 vs ~13 gather steps
-    per query at demo read lengths.
-
-    Returns (N, P) insertion points within [0, n_valid]."""
-    K = vals.shape[2]
-    if row_map is None:
-        row_map = jnp.arange(queries.shape[0], dtype=I32)
-    rows = row_map[:, None]
-    dcol = dslot[:, None]
-    if coarse is None:
-        lo = jnp.zeros(queries.shape, I32)
-        hi = jnp.broadcast_to(n_valid[:, None], queries.shape).astype(I32)
-        steps = int(K).bit_length() + 1
-    else:
-        stride = (K + RK_COARSE - 1) // RK_COARSE
-        crow = coarse[row_map, dslot]                      # (N, RK_COARSE)
-        lt = (crow[:, None, :] < queries[:, :, None] if side_left
-              else crow[:, None, :] <= queries[:, :, None])
-        cnt = jnp.sum(lt, axis=2).astype(I32)              # (N, P)
-        lo = jnp.maximum((cnt - 1) * stride + 1, 0)
-        hi = jnp.minimum(cnt * stride, n_valid[:, None]).astype(I32)
-        lo = jnp.minimum(lo, hi)
-        steps = int(stride).bit_length() + 1
-    for _ in range(steps):
-        cont = lo < hi
-        mid = (lo + hi) >> 1
-        mv = vals[rows, dcol, jnp.clip(mid, 0, K - 1)]
-        go_right = (mv < queries) if side_left else (mv <= queries)
-        lo = jnp.where(cont & go_right, mid + 1, lo)
-        hi = jnp.where(cont & ~go_right, mid, hi)
-    return lo
+    rk_row: (N, K) per-position 9-mer values for each lane's chain
+    direction; rk_n: (N,) valid positions; pv: (N, P) probe values.
+    Returns (qpos (N, P, H_CAP) ascending positions (K = no hit),
+    cnt (N, P) full multiplicity)."""
+    N, K = rk_row.shape
+    kpos = jnp.arange(K, dtype=I32)
+    eq = (rk_row[:, None, :] == pv[:, :, None]) \
+        & (kpos[None, None, :] < rk_n[:, None, None]) & p_on[:, :, None]
+    cnt = jnp.sum(eq, axis=2, dtype=I32)
+    prev = jnp.full(pv.shape, -1, I32)
+    qpos_h = []
+    for _ in range(H_CAP):
+        cand = jnp.where(eq & (kpos[None, None, :] > prev[:, :, None]),
+                         kpos[None, None, :], K)
+        nxt = jnp.min(cand, axis=2).astype(I32)
+        qpos_h.append(nxt)
+        prev = nxt
+    return jnp.stack(qpos_h, axis=2), cnt
 
 
 def _popc(v):
@@ -191,9 +205,16 @@ def _word16(pk, rows, base):
     g0 = pk[rows, jnp.clip(w0, 0, kw - 1)]
     g1 = pk[rows, jnp.clip(w0 + 1, 0, kw - 1)]
     v = jnp.where(sh == 0, g0, (g0 >> sh) | (g1 << (U32(32) - sh)))
-    # negative base: place char 0 at bit 2*(-base), zeros below
-    neg = jnp.minimum(jnp.maximum(-base, 0), 15).astype(U32)
-    return jnp.where(base < 0, v << (neg << 1), v)
+    # negative base: place char 0 at bit 2*(-base), zeros below. base
+    # <= -16 means every char of the chunk sits below index 0 (a
+    # backward run whose first compared char is already q < 0): the
+    # whole word is char-0s, NOT codes[0] shifted by a clamped 15 — the
+    # clamp bug dropped below-buffer runs gold extends (glibc
+    # chunk-header zeros, src/cly.c MEM_search over-reads).
+    neg = jnp.minimum(jnp.maximum(-base, 0), 16).astype(U32)
+    sh2 = jnp.minimum(neg, U32(15)) << 1
+    shifted = jnp.where(neg >= 16, U32(0), v << sh2)
+    return jnp.where(base < 0, shifted, v)
 
 
 def _run_len2(codes_pk, buf_len, rows, qstart, win_pk, win_len, wstart,
@@ -257,13 +278,14 @@ def _run_len2(codes_pk, buf_len, rows, qstart, win_pk, win_len, wstart,
 
 
 def _build_rk_tables(codes_fr, read_len):
-    """Per-(read, direction) sorted 9-mer tables, built on device.
+    """Per-(read, direction) POSITION-ORDERED 9-mer value tables.
 
-    Returns (vals, pos), each (B, 2, K) with axis1 indexed by direction
-    value (0=REVERSE strand at [rl:2rl], 1=FORWARD at [0:rl]); K =
-    codes_fr.shape[1] // 2. Invalid tail positions sort to the end
-    (value INT32_MAX). Ties break by ascending position (stable sort) —
-    the gold ReadKmerIndex contract."""
+    Returns vals (B, 2, K), axis1 indexed by direction value (0=REVERSE
+    strand at [rl:2rl], 1=FORWARD at [0:rl]); K = codes_fr.shape[1]//2;
+    entry k = 9-mer value at read position k (INT32_MAX past the valid
+    tail). Probes hit this with a full compare-scan (_probe_hits), so
+    no sorting is needed — hits emerge in ascending position order,
+    which IS the gold ReadKmerIndex tie order."""
     B, L2 = codes_fr.shape
     K = L2 // 2
     c32 = codes_fr.astype(jnp.uint32)
@@ -276,24 +298,23 @@ def _build_rk_tables(codes_fr, read_len):
     n_k9 = jnp.maximum(rl - K9 + 1, 0)
     ar = jnp.arange(K, dtype=I32)[None, :]
     fwd_vals = vals_full[:, :K].astype(I32)
-    rev_idx = jnp.clip(rl[:, None] + ar, 0, n_k_full - 1)
-    rev_vals = jnp.take_along_axis(vals_full, rev_idx, axis=1).astype(I32)
+    # rev row = vals_full shifted left by rl chars (per-lane): a log2
+    # funnel of static shifts instead of a (B, K) element gather
+    x = vals_full
+    s = 1
+    while s <= K:
+        s <<= 1
+    s >>= 1
+    while s >= 1:
+        sel = (rl & s) != 0
+        x = jnp.where(sel[:, None], jnp.pad(x[:, s:], ((0, 0), (0, s))), x)
+        s >>= 1
+    rev_vals = x[:, :K].astype(I32)
     big = jnp.int32(np.iinfo(np.int32).max)
     valid = ar < n_k9[:, None]
     fwd_vals = jnp.where(valid, fwd_vals, big)
     rev_vals = jnp.where(valid, rev_vals, big)
-    f_ord = jnp.argsort(fwd_vals, axis=1, stable=True).astype(I32)
-    r_ord = jnp.argsort(rev_vals, axis=1, stable=True).astype(I32)
-    f_sorted = jnp.take_along_axis(fwd_vals, f_ord, axis=1)
-    r_sorted = jnp.take_along_axis(rev_vals, r_ord, axis=1)
-    vals = jnp.stack([r_sorted, f_sorted], axis=1)   # axis1: 0=REV, 1=FWD
-    pos = jnp.stack([r_ord, f_ord], axis=1)
-    stride = (K + RK_COARSE - 1) // RK_COARSE
-    coarse = vals[:, :, ::stride]
-    coarse = jnp.pad(coarse, ((0, 0), (0, 0),
-                              (0, RK_COARSE - coarse.shape[2])),
-                     constant_values=np.iinfo(np.int32).max)
-    return vals, pos, coarse
+    return jnp.stack([rev_vals, fwd_vals], axis=1)   # axis1: 0=REV, 1=FWD
 
 
 class VMState(NamedTuple):
@@ -594,8 +615,8 @@ def _proc_micro(st: VMState, inp: RescoreIn, rows=None):
     return st
 
 
-def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, codes_pk, ref_bin,
-                ref_off, ref_len_arr, n_bases: int, bf: int):
+def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, codes_pk, ref_rows,
+                ref_bin, ref_off, ref_len_arr, n_bases: int, bf: int):
     """Heavy step, lane-compacted: gather the (<= bf) lanes that need a
     window fetch into a compact buffer, run the per-mode window logic at
     width bf, scatter the state back. Lanes beyond bf capacity keep
@@ -613,13 +634,13 @@ def _fetch_step(st: VMState, inp: RescoreIn, rk_tables, codes_pk, ref_bin,
     # make invalid compact slots inert inside the body
     st_c = st_c._replace(need_fetch=st_c.need_fetch & valid,
                          fallback=st_c.fallback | ~valid)
-    out_c = _fetch_body(st_c, rows_g, inp, rk_tables, codes_pk, ref_bin,
-                        ref_off, ref_len_arr, n_bases)
+    out_c = _fetch_body(st_c, rows_g, inp, rk_tables, codes_pk, ref_rows,
+                        ref_bin, ref_off, ref_len_arr, n_bases)
     return scatter_rows(st, out_c, rows_s)
 
 
 def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
-                ref_bin, ref_off, ref_len_arr, n_bases: int):
+                ref_rows, ref_bin, ref_off, ref_len_arr, n_bases: int):
     """Window-fetch logic at compact width N: pre-checks, packed ref
     gather, 9-mer probe + match building, sms append, post-checks.
     `rows` maps compact lanes to rows of the batch-wide inp/rk tables;
@@ -696,7 +717,7 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
     if "window" in _ABLATE:
         win = jnp.zeros((B, W_CAP), jnp.uint8)
     else:
-        win = _ref_chars(ref_bin, n_bases, goff, W_CAP)
+        win = _ref_chars(ref_rows, ref_bin, n_bases, goff, W_CAP)
     # bug branch: window chars sit at [0:msr], zero-filled to msr+50
     wpos = jnp.arange(W_CAP, dtype=I32)[None, :]
     win = jnp.where(bug_l[:, None] & (wpos >= msr[:, None]), 0, win)
@@ -727,45 +748,36 @@ def _fetch_body(st: VMState, rows, inp: RescoreIn, rk_tables, codes_pk,
     ivals = (jnp.arange(P_CAP, dtype=I32)[None, :] + 1) * 4   # i = 4,8,...
     p_on = probe_ok[:, None] & (ivals < t_kmer_num[:, None])
     tpos = jnp.where(is_l[:, None], t_kmer_num[:, None] - 1 - ivals, ivals)
-    # rolling 9-mer values over the whole window (elementwise shifts) so
-    # each probe costs ONE gather instead of K9
+    # rolling 9-mer values over the whole window (elementwise shifts)
     wk = jnp.zeros((B, W_CAP), I32)
     w32 = win.astype(I32)
     for k in range(K9):
         wk = (wk << 2) | jnp.pad(w32[:, k:], ((0, 0), (0, k)))
-    pv = wk[lanes[:, None], jnp.clip(t0[:, None] + tpos, 0, W_CAP - 1)]
+    # probe values via masked max (scan) instead of a (B, P) gather
+    wsel = jnp.clip(t0[:, None] + tpos, 0, W_CAP - 1)
+    wcols = jnp.arange(W_CAP, dtype=I32)
+    pv = jnp.max(jnp.where(wcols[None, None, :] == wsel[:, :, None],
+                           wk[:, None, :], jnp.int32(-1)), axis=2)
     dslot = jnp.clip(chain_dir, 0, 1)
-    rkv, rkp, rkc = rk_tables
+    rkv = rk_tables
     K_rk = rkv.shape[2]
     rkn = jnp.where(l_read >= K9, l_read - K9 + 1, 0)
+    # flat leading-axis row gather (the fast gather form on this chip)
+    rk_row = rkv.reshape(-1, K_rk)[rows * 2 + dslot]    # (B, K)
     if "probes" in _ABLATE:
-        lo = jnp.zeros(pv.shape, I32)
-        hi = jnp.zeros(pv.shape, I32)
+        qpos = jnp.full((B, P_CAP, H_CAP), K_rk, I32)
+        cnt = jnp.zeros(pv.shape, I32)
     else:
-        lo = _searchsorted_rows(rkv, dslot, rkn, pv, True, row_map=rows,
-                                coarse=rkc)
-        # hi via forward scan: multiplicities are tiny (<= H_CAP), so
-        # H_CAP+1 gathers beat a second 14-step binary search
-        run_eq = jnp.ones(lo.shape, bool)
-        cnt = jnp.zeros(lo.shape, I32)
-        for k in range(H_CAP + 1):
-            v = rkv[rows[:, None], dslot[:, None],
-                    jnp.clip(lo + k, 0, K_rk - 1)]
-            run_eq = run_eq & (lo + k < rkn[:, None]) & (v == pv)
-            cnt = cnt + run_eq.astype(I32)
-        hi = lo + cnt
+        qpos, cnt = _probe_hits(rk_row, rkn, pv, p_on)
     f3 = (p_on & (cnt > H_CAP)).any(axis=1)
     st = st._replace(fallback=st.fallback | f3,
                      fb_reason=st.fb_reason | jnp.where(f3, 4, 0))
 
-    # candidates: (B, P_CAP, H_CAP) -> flat (B, P_CAP*H_CAP) in gold order.
-    # Compact TWICE (by validity, then by the leftmost filter) before any
-    # match-run work: run gathers cost B*F*width elements, so F must be
-    # small. top_k with key = BIG - slot preserves gold's emission order.
+    # candidates: (B, P_CAP, H_CAP) -> flat (B, P_CAP*H_CAP) in gold order
+    # (probe order, then ascending read position). Compact TWICE (by
+    # validity, then by the leftmost filter) before any match-run work.
     hidx = jnp.arange(H_CAP, dtype=I32)[None, None, :]
-    cand_ok = p_on[:, :, None] & (lo[:, :, None] + hidx < hi[:, :, None])
-    qpos = rkp[rows[:, None, None], dslot[:, None, None],
-               jnp.clip(lo[:, :, None] + hidx, 0, K_rk - 1)]
+    cand_ok = p_on[:, :, None] & (hidx < jnp.minimum(cnt, H_CAP)[:, :, None])
     qpos_u = qpos.astype(U32)
     # filter 2 (src/cly.c:2251,2306): the reference compares q_bg, not
     # q_pos, to q_ed — q_ed only gates the window as a whole
@@ -924,6 +936,7 @@ def rescore_kernel(inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
 
     rk_tables = _build_rk_tables(inp.codes_fr, inp.read_len)
     codes_pk = _pack2(inp.codes_fr)
+    ref_rows = _ref_as_rows(ref_bin)
 
     def body(c_st):
         it, st = c_st
@@ -938,8 +951,8 @@ def rescore_kernel(inp: RescoreIn, ref_bin, ref_off, ref_len_arr,
         st_c = jax.lax.fori_loop(
             0, pp, lambda _k, s: _proc_micro(s, inp, prows_g), st_c)
         st = scatter_rows(st, st_c, prows_s)
-        st = _fetch_step(st, inp, rk_tables, codes_pk, ref_bin, ref_off,
-                         ref_len_arr, n_bases, bf)
+        st = _fetch_step(st, inp, rk_tables, codes_pk, ref_rows, ref_bin,
+                         ref_off, ref_len_arr, n_bases, bf)
         return it + 1, st
 
     it, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))

@@ -88,6 +88,57 @@ class ShardedArray:
                                 self.axis).astype(v.dtype)
         return jax.lax.psum(z, self.axis)
 
+    def as_rows(self, row_b: int) -> "ShardedRows":
+        """Row view: global flat array as (NR, row_b) rows.
+
+        Requires the local shard length to divide by row_b —
+        ``_flat_pad`` pads every placement to ``n_idx * ROW_ALIGN``
+        elements so shard boundaries are always row-aligned."""
+        assert len(self.global_shape) == 1
+        assert self.shard.shape[0] % row_b == 0, (
+            f"shard len {self.shard.shape[0]} not divisible by {row_b}")
+        nr = -(-self.global_shape[0] // row_b)
+        return ShardedRows(self.shard.reshape(-1, row_b), nr, self.axis)
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedRows:
+    """Row-range-sharded (NR, row_b) view: ``a[i]`` with i (N,) returns
+    (N, row_b) rows by local gather + psum over the idx axis."""
+
+    def __init__(self, rows, n_rows: int, axis: str = "idx"):
+        self.rows = rows
+        self.n_rows = int(n_rows)
+        self.axis = axis
+
+    def tree_flatten(self):
+        return (self.rows,), (self.n_rows, self.axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.rows.shape[1])
+
+    @property
+    def dtype(self):
+        return self.rows.dtype
+
+    def __getitem__(self, idx):
+        idx = jnp.asarray(idx)
+        sh = self.rows.shape[0]
+        me = jax.lax.axis_index(self.axis) * sh
+        loc = idx - me
+        own = (loc >= 0) & (loc < sh)
+        v = self.rows[jnp.where(own, loc, 0)]
+        z = jnp.where(own[..., None], v, jnp.zeros((), v.dtype))
+        if z.dtype.itemsize < 4:
+            return jax.lax.psum(z.astype(jnp.int32),
+                                self.axis).astype(v.dtype)
+        return jax.lax.psum(z, self.axis)
+
 
 # Index arrays big enough to be worth sharding (everything whose size
 # scales with the reference collection); the rest stay replicated
@@ -99,11 +150,15 @@ SHARDED_IXR_FIELDS = frozenset({
 })
 
 
+ROW_ALIGN = 256  # shard lengths divide this so as_rows(<=256) is legal
+
+
 def _flat_pad(arr, n_idx: int):
-    """Flatten row-major and zero-pad so the length divides n_idx."""
+    """Flatten row-major and zero-pad so every shard is ROW_ALIGN-long
+    aligned (hence also divides n_idx)."""
     a = np.asarray(arr)
     flat = a.reshape(-1)
-    pad = (-flat.shape[0]) % n_idx
+    pad = (-flat.shape[0]) % (n_idx * ROW_ALIGN)
     if pad:
         flat = np.concatenate([flat, np.zeros(pad, flat.dtype)])
     return flat, a.shape

@@ -306,6 +306,52 @@ def test_mem_probe_parity(device_setup):
     assert nprobes > 30
 
 
+def test_run_len2_below_buffer_parity():
+    """Fuzz the rescore VM's packed LCE (_run_len2) against the gold
+    _mem_q oracle, INCLUDING backward runs whose start q is already
+    below the read buffer (q < 0 compares as char 0 — the reference
+    walks into glibc chunk-header zeros, src/cly.c MEM_search).
+
+    Regression: _word16's zero-fill shift was clamped at 15 chars, so a
+    chunk whose base was <= -16 (first compared char at q = -1) read
+    codes[0] instead of 0 and the run died at the buffer edge — one
+    read in the multihost corpus lost a 2-char head extension (POS
+    11632 vs 11630, AS 278 vs 280)."""
+    from desamba_tpu.engine.device import rescore as dr
+    from desamba_tpu.engine.gold.rescore import _mem_q
+
+    rng = np.random.default_rng(99)
+    B, F, L, W = 8, 16, 200, 256
+    codes = rng.integers(0, 4, (B, 2 * L)).astype(np.uint8)
+    win = rng.integers(0, 4, (B, W)).astype(np.uint8)
+    # plant zero runs at window starts and read heads so below-buffer
+    # matches actually extend
+    win[:, :24] = 0
+    codes[:, :6] = 0
+    codes_pk = np.asarray(dr._pack2(jnp.asarray(codes)))
+    win_pk = np.asarray(dr._pack2(jnp.asarray(win)))
+    buf_len = np.full((B,), 2 * L, np.int32)
+    for step in (1, -1):
+        # forward runs never start below the buffer (gold _mem_q leaves
+        # that undefined); backward runs may (the regression case)
+        qlo = 0 if step > 0 else -20
+        qstart = rng.integers(qlo, 2 * L, (B, F)).astype(np.int32)
+        wstart = rng.integers(0, W, (B, F)).astype(np.int32)
+        cap = rng.integers(0, 64, (B, F)).astype(np.int32)
+        got = np.asarray(dr._run_len2(
+            jnp.asarray(codes_pk), jnp.asarray(buf_len),
+            jnp.arange(B, dtype=jnp.int32), jnp.asarray(qstart),
+            jnp.asarray(win_pk), jnp.full((B,), W, jnp.int32),
+            jnp.asarray(wstart), jnp.full((B, 1), step, jnp.int32),
+            jnp.asarray(cap), jnp.ones((B, F), bool)))
+        for b in range(B):
+            for f in range(F):
+                exp = _mem_q(codes[b], int(qstart[b, f]), win[b],
+                             int(wstart[b, f]), step > 0, int(cap[b, f]))
+                assert got[b, f] == exp, (step, b, f, qstart[b, f],
+                                          wstart[b, f], cap[b, f])
+
+
 def test_rescore_kernel_parity(device_setup):
     """Device rescore == gold get_score_m2 on noisy reads (chains built by
     the gold pipeline; kernel rescored on device; exact field compare)."""

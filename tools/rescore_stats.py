@@ -32,10 +32,12 @@ cap = {}
 orig_kernel = dr.rescore_kernel
 
 
-def capture(inp, ref_bin, ref_off, ref_len_arr, n_bases):
-    cap['inp'] = inp
-    cap['args'] = (ref_bin, ref_off, ref_len_arr, n_bases)
-    return orig_kernel(inp, ref_bin, ref_off, ref_len_arr, n_bases)
+def capture(inp, ref_bin, ref_off, ref_len_arr, n_bases, **kw):
+    # keep the LARGEST batch (the main batch, not the M3 sub-batch)
+    if 'inp' not in cap or inp.n_chains.shape[0] > cap['inp'].n_chains.shape[0]:
+        cap['inp'] = inp
+        cap['args'] = (ref_bin, ref_off, ref_len_arr, n_bases)
+    return orig_kernel(inp, ref_bin, ref_off, ref_len_arr, n_bases, **kw)
 
 
 import desamba_tpu.engine.device.classifier as C
@@ -115,7 +117,8 @@ def kernel_trips(inp, ref_bin, ref_off, ref_len_arr, n_bases):
             (bucket[:, None] == jnp.arange(12)[None, :]) & act[:, None],
             axis=0).astype(jnp.int64)
         st = dr._fetch_step(st, inp, rk_tables, dr._pack2(inp.codes_fr),
-                            ref_bin, ref_off, ref_len_arr, n_bases, B)
+                            dr._ref_as_rows(ref_bin), ref_bin, ref_off,
+                            ref_len_arr, n_bases, B)
         live = (st.mode != dr.M_DONE) & ~st.fallback
         fin = jnp.where(live, it + 1, fin)
         return it + 1, st, fin, cnt, wh
