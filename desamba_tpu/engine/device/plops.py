@@ -31,11 +31,24 @@ def sub_iota(shape):
     return jax.lax.broadcasted_iota(I32, shape, len(shape) - 2)
 
 
+def shuffle_lanes(v, idx):
+    """take_along_axis along lanes with the Mosaic shape rules applied:
+    operand broadcast to idx.shape, and sublane-1 shapes padded to 2
+    (the (1, 128) gather form fails to lower)."""
+    shape = idx.shape
+    if shape[-2] == 1:
+        s2 = shape[:-2] + (2, shape[-1])
+        v2 = jnp.broadcast_to(v, s2)
+        i2 = jnp.broadcast_to(idx, s2)
+        return jnp.take_along_axis(v2, i2, axis=-1)[..., :1, :]
+    return jnp.take_along_axis(jnp.broadcast_to(v, shape), idx, axis=-1)
+
+
 def bcast_lane(v, lane, rows: int | None = None):
     """Broadcast v[..., lane] (dynamic lane) across all lanes — one
     matched-shape shuffle per row. v: (R, 128); lane: scalar."""
     idx = jnp.full(v.shape, lane, I32)
-    out = jnp.take_along_axis(v, idx, axis=-1)
+    out = shuffle_lanes(v, idx)
     if rows is not None:
         out = out[:rows]
     return out
@@ -66,6 +79,13 @@ def umax_reduce(v):
     return jnp.max(f) ^ jnp.int32(-2147483648)
 
 
+def umin(a, b):
+    """Unsigned elementwise min on i32 bit patterns (arith.minui does
+    not legalize in Mosaic): flip sign bits, signed min, flip back."""
+    s = jnp.int32(-2147483648)
+    return (jnp.minimum(a ^ s, b ^ s)) ^ s
+
+
 def ult(a, b):
     """Unsigned a < b on i32 bit patterns."""
     return (a ^ jnp.int32(-2147483648)) < (b ^ jnp.int32(-2147483648))
@@ -93,12 +113,9 @@ def gather_rows_table(get_row, n_rows: int, idx):
     Cost: n_rows x (shuffle + select); keep tables <= 32 rows hot."""
     r = idx >> 7
     l = idx & 127
-    shape = idx.shape
-    acc = jnp.zeros(shape, I32)
+    acc = jnp.zeros(idx.shape, I32)
     for rr in range(n_rows):
-        row = get_row(rr)
-        b = jnp.broadcast_to(row, shape)
-        sh = jnp.take_along_axis(b, l, axis=-1)
+        sh = shuffle_lanes(get_row(rr), l)
         acc = jnp.where(r == rr, sh, acc)
     return acc
 
@@ -129,13 +146,17 @@ def prefix_sum_colmajor(v):
 def reverse_lanes(v):
     """Reverse along the lane axis (static shuffle)."""
     idx = jnp.broadcast_to((LANES - 1) - lane_iota(v.shape), v.shape)
-    return jnp.take_along_axis(v, idx, axis=-1)
+    return shuffle_lanes(v, idx)
 
 
 def reverse_colmajor(v):
     """Reverse v (R, 128) in column-major element order: element
-    (r, l) <- (R-1-r, 127-l)."""
-    return reverse_lanes(v[::-1])
+    (r, l) <- (R-1-r, 127-l). Row reversal by static concat (the `rev`
+    primitive does not lower in Mosaic)."""
+    R = v.shape[0]
+    rr = jnp.concatenate([v[r : r + 1] for r in range(R - 1, -1, -1)],
+                         axis=0)
+    return reverse_lanes(rr)
 
 
 def popc32(v):

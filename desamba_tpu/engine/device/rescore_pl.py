@@ -140,9 +140,7 @@ def _emugather_dyn(read_row, n_rows, idx):
     shape = idx.shape
 
     def body(rr, acc):
-        row = read_row(rr)
-        b = jnp.broadcast_to(row, shape)
-        sh = jnp.take_along_axis(b, l, axis=-1)
+        sh = po.shuffle_lanes(read_row(rr), l)
         return jnp.where(r == rr, sh, acc)
 
     return jax.lax.fori_loop(0, n_rows, body, jnp.zeros(shape, I32))
@@ -157,8 +155,7 @@ def _emugather_static(arr, idx):
     shape = idx.shape
     acc = jnp.zeros(shape, I32)
     for rr in range(R):
-        b = jnp.broadcast_to(arr[rr : rr + 1, :], shape)
-        sh = jnp.take_along_axis(b, l, axis=-1)
+        sh = po.shuffle_lanes(arr[rr : rr + 1, :], l)
         acc = jnp.where(r == rr, sh, acc)
     return acc
 
@@ -190,9 +187,8 @@ def _word16_w(wj, base):
     w0 = b >> 4
     sh = ((b & 15) << 1)
     idx0 = jnp.clip(w0, 0, LANES - 1)
-    g0 = jnp.take_along_axis(jnp.broadcast_to(wj, base.shape), idx0, -1)
-    g1 = jnp.take_along_axis(jnp.broadcast_to(wj, base.shape),
-                             jnp.clip(w0 + 1, 0, LANES - 1), -1)
+    g0 = po.shuffle_lanes(wj, idx0)
+    g1 = po.shuffle_lanes(wj, jnp.clip(w0 + 1, 0, LANES - 1))
     g0u, g1u = g0.astype(U32), g1.astype(U32)
     shu = sh.astype(U32)
     v = jnp.where(sh == 0, g0u, (g0u >> shu) | (g1u << (U32(32) - shu)))
@@ -209,14 +205,16 @@ def _run_len_lanes(codes_row, wq_rows, buf_len, wj, win_len, qstart, wstart,
     rescore._run_len2 for a single read with the window as (1,128)
     aligned words."""
     n = jnp.zeros(qstart.shape, I32)
-    run = active & (cap > 0)
+    run0 = (active & (cap > 0)).astype(I32)  # i32 carry: Mosaic cannot
+    #                                          legalize i1 vector yields
 
     def cond(st):
         n, run = st
-        return jnp.max(run.astype(I32)) > 0
+        return jnp.max(run) > 0
 
     def body(st):
-        n, run = st
+        n, run_i = st
+        run = run_i == 1
         qi = qstart + (n if forward else -n)
         wi = wstart + (n if forward else -n)
         qw = _word16_q(codes_row, wq_rows, qi if forward else qi - 15,
@@ -244,9 +242,9 @@ def _run_len_lanes(codes_row, wq_rows, buf_len, wj, win_len, qstart, wstart,
         adv = jnp.minimum(m, jnp.minimum(lim, 16))
         n2 = jnp.where(run, n + adv, n)
         run2 = run & (adv == 16) & (n2 < cap)
-        return n2, run2
+        return n2, run2.astype(I32)
 
-    n, _ = jax.lax.while_loop(cond, body, (n, run))
+    n, _ = jax.lax.while_loop(cond, body, (n, run0))
     return jnp.minimum(n, jnp.maximum(cap, 0))
 
 
@@ -263,21 +261,21 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
     def kernel(scal, chs_in, anc, sch, codes_pk, rkv, rkp, rkc,
                refoff, reflen, refrows, cho, flg,
                sms, dmabuf, chw, hashv, sem):
-        n_chains = scal[0, 0]
-        n_hash = scal[0, 1]
-        l_read = scal[0, 2]
-        buf_len = scal[0, 3]
-        last_char = scal[0, 4]
-        flg[0, 3] = jnp.int32(0)
-        flg[0, 4] = jnp.int32(0)
-        flg[0, 5] = jnp.int32(0)
+        n_chains = scal[0, 0, 0]
+        n_hash = scal[0, 0, 1]
+        l_read = scal[0, 0, 2]
+        buf_len = scal[0, 0, 3]
+        last_char = scal[0, 0, 4]
+        flg[0, 0, 3] = jnp.int32(0)
+        flg[0, 0, 4] = jnp.int32(0)
+        flg[0, 0, 5] = jnp.int32(0)
 
         lane_i = po.lane_iota((1, LANES))
 
         # working chains copy in SMEM (mutated by combine/absorb)
         def cp_chain(c, _):
             def cp_f(f, __):
-                chw[c * 16 + f] = chs_in[0, c * 16 + f]
+                chw[c * 16 + f] = chs_in[0, 0, c * 16 + f]
                 return 0
             jax.lax.fori_loop(0, CF_N, cp_f, 0)
             return 0
@@ -290,15 +288,15 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
             chw[c * 16 + f] = v
 
         def anc_f(a, f):
-            return anc[0, jnp.clip(a, 0, A2 - 1) * 4 + f]
+            return anc[0, 0, jnp.clip(a, 0, A2 - 1) * 4 + f]
 
         # ---- per-chain combine-hash entry vectors --------------------------
         def build_hashv():
             def body(e, _):
-                key = sch[0, e * 3 + 0]
-                eci = jnp.clip(sch[0, e * 3 + 1], 0, C_CAP - 1)
-                soe = sch[0, e * 3 + 2]
-                vals = (key, sch[0, e * 3 + 1], soe, chf(eci, C_QST),
+                key = sch[0, 0, e * 3 + 0]
+                eci = jnp.clip(sch[0, 0, e * 3 + 1], 0, C_CAP - 1)
+                soe = sch[0, 0, e * 3 + 2]
+                vals = (key, sch[0, 0, e * 3 + 1], soe, chf(eci, C_QST),
                         chf(eci, C_TST), chf(eci, C_QED), chf(eci, C_TED),
                         chf(eci, C_REF), chf(eci, C_DIR), chf(eci, C_SUM))
                 for r, v in enumerate(vals):
@@ -398,8 +396,7 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
             for _ in range(8):
                 ccont = clo < chi
                 cmid = (clo + chi) >> 1
-                cval = jnp.take_along_axis(crow,
-                                           jnp.clip(cmid, 0, LANES - 1), -1)
+                cval = po.shuffle_lanes(crow, jnp.clip(cmid, 0, LANES - 1))
                 cgo = cval < pv
                 clo = jnp.where(ccont & cgo, cmid + 1, clo)
                 chi = jnp.where(ccont & ~cgo, cmid, chi)
@@ -524,9 +521,8 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
 
             # --- long run ----------------------------------------------------
             if forward:
-                ms_u = (q_ed.astype(U32) - qpos.astype(U32) - U32(1))
-                cap_ = (jnp.minimum(ms_u, (t_len - tpos - 1).astype(U32))
-                        .astype(I32) + OVER)
+                ms_u = q_ed - qpos - 1
+                cap_ = po.umin(ms_u, t_len - tpos - 1) + OVER
                 lq = qbase + qpos + K9
                 lw = t0j + tpos + K9
                 # win_len for forward long runs: t0j + t_len + OVER in
@@ -571,19 +567,16 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
             for _ in range(8):
                 cont = lo3 < hi3
                 mid = (lo3 + hi3) >> 1
-                dv = jnp.take_along_axis(jnp.broadcast_to(dest, (1, LANES)),
-                                         jnp.clip(mid, 0, LANES - 1), -1)
+                dv = po.shuffle_lanes(dest, jnp.clip(mid, 0, LANES - 1))
                 go = dv < slot_l
                 lo3 = jnp.where(cont & go, mid + 1, lo3)
                 hi3 = jnp.where(cont & ~go, mid, hi3)
             src = jnp.clip(lo3, 0, LANES - 1)
-            gsrc = lambda a: jnp.take_along_axis(
-                jnp.broadcast_to(a, (1, LANES)), src, -1)
+            gsrc = lambda a: po.shuffle_lanes(a, src)
             hitm = (gsrc(dest) == slot_l) & (gsrc(emit.astype(I32)) == 1)
             for r, v in ((0, node_q), (1, node_t), (2, total),
                          (3, jnp.zeros((1, LANES), I32))):
-                got = jnp.take_along_axis(jnp.broadcast_to(v, (1, LANES)),
-                                          src, -1)
+                got = po.shuffle_lanes(v, src)
                 sms[r : r + 1, :] = jnp.where(hitm, got, sms[r : r + 1, :])
             if _TRACE:
                 jax.debug.print(
@@ -938,13 +931,13 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
                 build_hashv()
                 sc, fb1, steps1 = run_middle(chf(ci, C_CUR), dslot, t_glob,
                                              fb, steps)
-                flg[0, 3] = sc          # debug: last chain's phase scores
+                flg[0, 0, 3] = sc          # debug: last chain's phase scores
                 sc, fb2, steps2 = run_side(False, ci, dslot, t_glob,
                                            t_length, sc, fb1, steps1)
-                flg[0, 4] = sc
+                flg[0, 0, 4] = sc
                 sc, fb3, steps3 = run_side(True, ci, dslot, t_glob,
                                            t_length, sc, fb2, steps2)
-                flg[0, 5] = sc
+                flg[0, 0, 5] = sc
                 return ci, fb3, steps3
 
             def done(_):
@@ -959,16 +952,16 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
         # ---- outputs (SMEM: dynamic scalar writes lower there) -------------
         def out_chain(c, _):
             def out_f(f, __):
-                cho[0, c * 16 + f] = chw[c * 16 + f]
+                cho[0, 0, c * 16 + f] = chw[c * 16 + f]
                 return 0
             jax.lax.fori_loop(0, 16, out_f, 0)
             return 0
         jax.lax.fori_loop(0, C_CAP, out_chain, 0)
-        flg[0, 0] = (fb != 0).astype(I32)
-        flg[0, 1] = fb
-        flg[0, 2] = steps
-        flg[0, 6] = jnp.int32(0)
-        flg[0, 7] = jnp.int32(0)
+        flg[0, 0, 0] = (fb != 0).astype(I32)
+        flg[0, 0, 1] = fb
+        flg[0, 0, 2] = steps
+        flg[0, 0, 6] = jnp.int32(0)
+        flg[0, 0, 7] = jnp.int32(0)
 
     return kernel
 
@@ -1034,14 +1027,14 @@ def rescore_kernel_pl(inp: RescoreIn, ref_pk, ref_off, ref_len_arr,
         inp.n_chains, inp.n_hash, inp.read_len, inp.buf_len,
         jnp.broadcast_to(last_char, (B,)),
         jnp.zeros((B,), I32), jnp.zeros((B,), I32), jnp.zeros((B,), I32),
-    ], axis=1)
+    ], axis=1)[:, None, :]
 
     chs = _pad_rows(jnp.pad(inp.chains, ((0, 0), (0, 0),
                                          (0, 16 - CF_N))))  # (B,1,128)
-    chs2 = chs.reshape(B, LANES)
-    anc2 = inp.anchors.reshape(B, -1)
+    chs2 = chs.reshape(B, 1, LANES)
+    anc2 = inp.anchors.reshape(B, 1, -1)
     n_hash_cap = inp.schash.shape[1]
-    sch2 = inp.schash.reshape(B, -1)
+    sch2 = inp.schash.reshape(B, 1, -1)
 
     A2 = inp.anchors.shape[1]
     kernel = _make_kernel(n_bases, NR, KR, WQR, RR, n_hash_cap, A2)
@@ -1049,11 +1042,12 @@ def rescore_kernel_pl(inp: RescoreIn, ref_pk, ref_off, ref_len_arr,
     S = pltpu.SMEM
     V = pltpu.VMEM
     in_specs = [
-            pl.BlockSpec((1, 8), lambda i: (i, 0), memory_space=S),
-            pl.BlockSpec((1, LANES), lambda i: (i, 0), memory_space=S),
-            pl.BlockSpec((1, anc2.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=S),
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0),
                          memory_space=S),
-            pl.BlockSpec((1, sch2.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, anc2.shape[2]), lambda i: (i, 0, 0),
+                         memory_space=S),
+            pl.BlockSpec((1, 1, sch2.shape[2]), lambda i: (i, 0, 0),
                          memory_space=S),
             pl.BlockSpec((1, WQR, LANES), lambda i: (i, 0, 0),
                          memory_space=V),
@@ -1068,8 +1062,9 @@ def rescore_kernel_pl(inp: RescoreIn, ref_pk, ref_off, ref_len_arr,
             pl.BlockSpec(memory_space=pl.ANY),
         ]
     out_specs = [
-        pl.BlockSpec((1, C_CAP * 16), lambda i: (i, 0), memory_space=S),
-        pl.BlockSpec((1, 8), lambda i: (i, 0), memory_space=S),
+        pl.BlockSpec((1, 1, C_CAP * 16), lambda i: (i, 0, 0),
+                     memory_space=S),
+        pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=S),
     ]
     cho, flg = pl.pallas_call(
         kernel,
@@ -1077,8 +1072,8 @@ def rescore_kernel_pl(inp: RescoreIn, ref_pk, ref_off, ref_len_arr,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=(
-            jax.ShapeDtypeStruct((B, C_CAP * 16), jnp.int32),
-            jax.ShapeDtypeStruct((B, 8), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, C_CAP * 16), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((4, LANES), jnp.int32),     # sms
@@ -1092,6 +1087,7 @@ def rescore_kernel_pl(inp: RescoreIn, ref_pk, ref_off, ref_len_arr,
       codes_pk3.astype(jnp.uint32), rkv3, rkp3, rkc.astype(I32),
       roff, rlen, refrows)
 
+    flg = flg[:, 0]
     chains = cho.reshape(B, C_CAP, 16)[:, :, :CF_N]
     fallback = flg[:, 0] != 0
     reason = flg[:, 1]
