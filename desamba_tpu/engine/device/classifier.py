@@ -19,6 +19,7 @@ fall back to the gold engine wholesale.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -109,6 +110,11 @@ class DeviceClassifier:
         self.batch_size = batch_size
         self.n_fallback = 0     # reads rescued by the gold oracle
         self.n_classified = 0
+        # per-read Pallas rescore (rescore_pl.py): the main-batch path on
+        # real TPUs (Mosaic); the lockstep XLA VM remains the M3
+        # sub-batch, CPU-mesh, and differential-oracle path
+        self._use_pl = (jax.devices()[0].platform == "tpu"
+                        and not os.environ.get("DESAMBA_NO_PL"))
 
     def fallback_stats(self):
         return {"fallback_reads": self.n_fallback,
@@ -310,6 +316,11 @@ class DeviceClassifier:
 
     def _k_rescore(self, inp):
         dix = self.dix
+        if self._use_pl:
+            from . import rescore_pl as drp
+
+            return drp.rescore_pl(inp, self.ixr.ref_pk, dix.ref_off,
+                                  dix.ref_len_arr, n_bases=dix.n_bases)
         B_pad = inp.n_chains.shape[0]
         return dr.rescore_kernel(
             inp, dix.ref_bin, dix.ref_off, dix.ref_len_arr,

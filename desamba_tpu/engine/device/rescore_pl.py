@@ -111,14 +111,26 @@ def _build_sorted_rk(codes_fr, read_len):
     rev_vals = jnp.take_along_axis(vals_full, rev_idx, axis=1).astype(I32)
     big = jnp.int32(np.iinfo(np.int32).max)
     valid = ar < n_k9[:, None]
-    fwd_vals = jnp.where(valid, fwd_vals, big)
-    rev_vals = jnp.where(valid, rev_vals, big)
-    f_ord = jnp.argsort(fwd_vals, axis=1, stable=True).astype(I32)
-    r_ord = jnp.argsort(rev_vals, axis=1, stable=True).astype(I32)
-    f_sorted = jnp.take_along_axis(fwd_vals, f_ord, axis=1)
-    r_sorted = jnp.take_along_axis(rev_vals, r_ord, axis=1)
-    vals = jnp.stack([r_sorted, f_sorted], axis=1)
-    pos = jnp.stack([r_ord, f_ord], axis=1)
+    # ONE unstable single-key sort instead of a stable argsort: key =
+    # (18-bit 9-mer value << pos_bits) | position encodes the stable tie
+    # order in the key itself (top key 2^31 - 1 just fits i32)
+    pos_bits = max(13, int(K - 1).bit_length())
+    if 18 + pos_bits <= 31:
+        fwd_keys = jnp.where(valid, (fwd_vals << pos_bits) | ar, big)
+        rev_keys = jnp.where(valid, (rev_vals << pos_bits) | ar, big)
+        keys = jnp.sort(jnp.stack([rev_keys, fwd_keys], axis=1), axis=2)
+        mask = jnp.int32((1 << pos_bits) - 1)
+        pos = jnp.where(keys == big, 0, keys & mask)
+        vals = jnp.where(keys == big, big, keys >> pos_bits)
+    else:  # reads beyond ~16 kb: positions no longer fit the fused key
+        fwd_vals = jnp.where(valid, fwd_vals, big)
+        rev_vals = jnp.where(valid, rev_vals, big)
+        f_ord = jnp.argsort(fwd_vals, axis=1, stable=True).astype(I32)
+        r_ord = jnp.argsort(rev_vals, axis=1, stable=True).astype(I32)
+        vals = jnp.stack([jnp.take_along_axis(rev_vals, r_ord, axis=1),
+                          jnp.take_along_axis(fwd_vals, f_ord, axis=1)],
+                         axis=1)
+        pos = jnp.stack([r_ord, f_ord], axis=1)
     stride = (K + LANES - 1) // LANES
     coarse = vals[:, :, ::stride]
     coarse = jnp.pad(coarse, ((0, 0), (0, 0),
@@ -160,16 +172,17 @@ def _emugather_static(arr, idx):
     return acc
 
 
-def _word16_q(codes_row, wq_rows, base, buf_len):
+def _word16_q(cpk, base, buf_len):
     """16-char packed read-buffer value starting at char `base` (per
-    candidate lane, (1,128) i32). Mirrors rescore._word16 incl. the
-    below-buffer zero-fill (base <= -16 -> all zeros)."""
+    candidate lane, (1,128) i32). cpk: in-register (WQR, 128) i32 packed
+    read words. Mirrors rescore._word16 incl. the below-buffer zero-fill
+    (base <= -16 -> all zeros)."""
     b = jnp.maximum(base, 0)
     w0 = b >> 4
     sh = ((b & 15) << 1)
-    kw = wq_rows * LANES
-    g0 = _emugather_dyn(codes_row, wq_rows, jnp.clip(w0, 0, kw - 1))
-    g1 = _emugather_dyn(codes_row, wq_rows, jnp.clip(w0 + 1, 0, kw - 1))
+    kw = cpk.shape[0] * LANES
+    g0 = _emugather_static(cpk, jnp.clip(w0, 0, kw - 1))
+    g1 = _emugather_static(cpk, jnp.clip(w0 + 1, 0, kw - 1))
     g0u, g1u = g0.astype(U32), g1.astype(U32)
     shu = sh.astype(U32)
     v = jnp.where(sh == 0, g0u, (g0u >> shu) | (g1u << (U32(32) - shu)))
@@ -198,7 +211,7 @@ def _word16_w(wj, base):
     return jnp.where(base < 0, shifted, v)
 
 
-def _run_len_lanes(codes_row, wq_rows, buf_len, wj, win_len, qstart, wstart,
+def _run_len_lanes(cpk, buf_len, wj, win_len, qstart, wstart,
                    forward: bool, cap, active):
     """Match-run lengths over candidate lanes (1, 128): read char
     qstart +- k vs window char wstart +- k, k < cap. Transcribes
@@ -217,8 +230,7 @@ def _run_len_lanes(codes_row, wq_rows, buf_len, wj, win_len, qstart, wstart,
         run = run_i == 1
         qi = qstart + (n if forward else -n)
         wi = wstart + (n if forward else -n)
-        qw = _word16_q(codes_row, wq_rows, qi if forward else qi - 15,
-                       buf_len)
+        qw = _word16_q(cpk, qi if forward else qi - 15, buf_len)
         ww = _word16_w(wj, wi if forward else wi - 15)
         y = qw ^ ww
         y = (y | (y >> 1)) & U32(0x55555555)
@@ -351,13 +363,10 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
             q_bg/q_ed are u32 bit patterns in i32."""
             t_kmer_num = t_len - K9 + 1
             qbase = jnp.where(dslot == 1, 0, l_read)
+            PR = 4  # compact probe rows: probes sit on a stride-4 lattice
 
-            # window 9-mer values per window position j (rows of 16
-            # j-phases x 128 words is awkward; use 16x128 j-layout:
-            # slot (c, w) = j = w*16 + c)
-            jpos = po.sub_iota((PW, LANES)) + po.lane_iota((PW, LANES)) * 16
-            # chars at j..j+8 from wj words: char j = bits 2*(j&15) of
-            # word j>>4; build wk by combining shifted word rows
+            # window 9-mer values per window position j; full j-layout
+            # (16, 128): slot (c, w) = j = w*16 + c
             wjb = jnp.broadcast_to(wj, (PW, LANES)).astype(U32)
             wj_next = jnp.broadcast_to(pltpu.roll(wj, LANES - 1, 1),
                                        (PW, LANES)).astype(U32)
@@ -369,30 +378,44 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
                 ccm = jnp.where(cc < 16, cc, cc - 16)
                 ch = ((word >> (ccm << 1).astype(U32)) & U32(3)).astype(I32)
                 wk = (wk << 2) | ch
-            # probe index per slot
+            # compact to the probe lattice (4, 128): row r = full row
+            # phi + 4r (phi = probe j phase; 0 for forward since t0j=0,
+            # (t0j + t_kmer_num - 1) & 3 for the left side)
+            if forward:
+                phi = jnp.int32(0)
+            else:
+                phi = (t0j + t_kmer_num - 1) & 3
+            rows = []
+            for r in range(PR):
+                row = wk[0 + 4 * r : 1 + 4 * r, :]
+                for p in range(1, 4):
+                    row = jnp.where(phi == p, wk[p + 4 * r : p + 4 * r + 1],
+                                    row)
+                rows.append(row)
+            wk4 = jnp.concatenate(rows, axis=0)          # (4, 128)
+            jpos = (po.lane_iota((PR, LANES)) * 16 + phi
+                    + po.sub_iota((PR, LANES)) * 4)
             if forward:
                 ivals = jpos - t0j
             else:
                 ivals = (t_kmer_num - 1) - (jpos - t0j)
             p_on = ((ivals >= 4) & (ivals < t_kmer_num) & (ivals % 4 == 0)
                     & (t_kmer_num > 4))
-            pv = jnp.where(p_on, wk, jnp.int32(np.iinfo(np.int32).max))
+            pv = jnp.where(p_on, wk4, jnp.int32(np.iinfo(np.int32).max))
 
             # --- binary search in the sorted rk table -----------------------
+            # one dynamic-slice load hoists each table into registers;
+            # every search pass is then a static unrolled shuffle-gather
             rkn = jnp.where(l_read >= K9, l_read - K9 + 1, 0)
             rbase = dslot * KR
+            rkv_v = rkv[0, pl.ds(rbase, KR), :]          # (KR, 128) i32
+            rkp_v = rkp[0, pl.ds(rbase, KR), :]
 
-            def rk_row(r):
-                return rkv[0, rbase + r]
-
-            def rkp_row(r):
-                return rkp[0, rbase + r]
-
-            crow = jnp.broadcast_to(rkc[0, dslot], (PW, LANES)).astype(I32)
+            crow = jnp.broadcast_to(rkc[0, dslot], (PR, LANES)).astype(I32)
             # coarse: count samples < pv via binary search over the
             # SORTED 128-sample row (7 matched-shape shuffles)
-            clo = jnp.zeros((PW, LANES), I32)
-            chi = jnp.full((PW, LANES), LANES, I32)
+            clo = jnp.zeros((PR, LANES), I32)
+            chi = jnp.full((PR, LANES), LANES, I32)
             for _ in range(8):
                 ccont = clo < chi
                 cmid = (clo + chi) >> 1
@@ -408,21 +431,20 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
             for _ in range(steps):
                 cont = lo < hi
                 mid = (lo + hi) >> 1
-                mv = _emugather_dyn(rk_row, KR, jnp.clip(mid, 0, K - 1))
+                mv = _emugather_static(rkv_v, jnp.clip(mid, 0, K - 1))
                 go = mv < pv
                 lo = jnp.where(cont & go, mid + 1, lo)
                 hi = jnp.where(cont & ~go, mid, hi)
             # multiplicity + positions
-            cnt = jnp.zeros((PW, LANES), I32)
-            run_eq = jnp.ones((PW, LANES), bool)
+            cnt = jnp.zeros((PR, LANES), I32)
+            run_eq = jnp.ones((PR, LANES), bool)
             qpos_h = []
             for h in range(H_CAP + 1):
-                vh = _emugather_dyn(rk_row, KR, jnp.clip(lo + h, 0, K - 1))
+                vh = _emugather_static(rkv_v, jnp.clip(lo + h, 0, K - 1))
                 run_eq = run_eq & (lo + h < rkn) & (vh == pv)
                 cnt = cnt + run_eq.astype(I32)
                 if h < H_CAP:
-                    ph = _emugather_dyn(rkp_row, KR,
-                                        jnp.clip(lo + h, 0, K - 1))
+                    ph = _emugather_static(rkp_v, jnp.clip(lo + h, 0, K - 1))
                     qpos_h.append(ph)
             fb = fb | jnp.where(jnp.max(jnp.where(p_on & (cnt > H_CAP),
                                                   1, 0)) > 0, FB_HITS, 0)
@@ -432,7 +454,7 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
             valid_h = []
             for h in range(H_CAP):
                 v = (p_on & (h < cnt)
-                     & po.ule(jnp.full((PW, LANES), q_bg, I32), qpos_h[h])
+                     & po.ule(jnp.full((PR, LANES), q_bg, I32), qpos_h[h])
                      & qf)
                 valid_h.append(v)
             nvalid = sum(v.astype(I32) for v in valid_h)
@@ -459,22 +481,22 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
             t128 = po.lane_iota((1, LANES))
             # binary search smallest slot s with csum[s] > t (col-major)
             lo2 = jnp.zeros((1, LANES), I32)
-            hi2 = jnp.full((1, LANES), PW * LANES, I32)
-            for _ in range(12):
+            hi2 = jnp.full((1, LANES), PR * LANES, I32)
+            for _ in range(10):
                 cont = lo2 < hi2
                 mid = (lo2 + hi2) >> 1
-                # col-major index mid -> (row = mid % PW, lane = mid // PW)
-                ridx = mid % PW
-                lidx = mid // PW
+                # col-major index mid -> (row = mid % PR, lane = mid // PR)
+                ridx = mid % PR
+                lidx = mid // PR
                 flat = ridx * LANES + lidx
                 cs = _emugather_static(csum, flat)
                 go = cs <= t128
                 lo2 = jnp.where(cont & go, mid + 1, lo2)
                 hi2 = jnp.where(cont & ~go, mid, hi2)
             slot_cm = lo2                                    # col-major slot
-            s_r = slot_cm % PW
-            s_l = slot_cm // PW
-            s_flat = jnp.clip(s_r * LANES + s_l, 0, PW * LANES - 1)
+            s_r = slot_cm % PR
+            s_l = slot_cm // PR
+            s_flat = jnp.clip(s_r * LANES + s_l, 0, PR * LANES - 1)
             c_on = t128 < ncand
 
             def g16(arr):
@@ -499,20 +521,19 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
             iv_c = g16(iv_e)
 
             # --- short side check (4-char) ----------------------------------
-            def codes_row(r):
-                return codes_pk[0, r].astype(I32)[None, :]
+            cpk = codes_pk[0].astype(I32)                 # (WQR, 128)
 
             if forward:
                 sq = qbase + qpos - 1
                 sw = t0j + tpos - 1
-                short = _run_len_lanes(codes_row, WQR, buf_len, wj,
+                short = _run_len_lanes(cpk, buf_len, wj,
                                        t_len + (OVER if not is_mid else 0),
                                        sq, sw, False,
                                        jnp.full((1, LANES), 4, I32), c_on)
             else:
                 sq = qbase + qpos + K9
                 sw = t0j + tpos + K9
-                short = _run_len_lanes(codes_row, WQR, buf_len, wj,
+                short = _run_len_lanes(cpk, buf_len, wj,
                                        t0j + t_len, sq, sw, True,
                                        jnp.full((1, LANES), 4, I32), c_on)
             lead_ok = c_on & ((short < 4) | (iv_c == 4))
@@ -529,7 +550,7 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
                 # j-space? VM win_len = msr + OVER (sides) / trl (mid),
                 # with window at j in [0, win_len); t0j=0 for fwd sides
                 wl = t_len + (0 if is_mid else OVER)
-                longr = _run_len_lanes(codes_row, WQR, buf_len, wj, wl,
+                longr = _run_len_lanes(cpk, buf_len, wj, wl,
                                        lq, lw, True, cap_, lead_ok)
                 back, fwd_ = short, longr
             else:
@@ -537,7 +558,7 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
                 lq = qbase + qpos - 1
                 lw = t0j + tpos - 1
                 wl = t0j + t_len
-                longr = _run_len_lanes(codes_row, WQR, buf_len, wj, wl,
+                longr = _run_len_lanes(cpk, buf_len, wj, wl,
                                        lq, lw, False, cap_, lead_ok)
                 back, fwd_ = longr, short
             total = back + fwd_ + 1
