@@ -418,18 +418,43 @@ class DeviceClassifier:
 
     # ---- main entry --------------------------------------------------------
     def classify_reads(self, recs):
-        for i in range(0, len(recs), self.batch_size):
-            yield from self._classify_batch(recs[i : i + self.batch_size])
+        """Batched classify with cross-batch overlap: batch N+1's island
+        stage (existence probe + native segmentation + read packing — the
+        host-heavy front end) runs in a worker thread while batch N's
+        ladders/chain/rescore are in flight (the kt_pipeline contract,
+        reference src/lib/kthread.c:157-197). Output order and stream
+        state (prefix-max max_read_l) are untouched: islands prep is
+        state-free and results drain strictly in input order."""
+        from concurrent.futures import ThreadPoolExecutor
 
-    def _classify_batch(self, recs):
+        batches = [recs[i : i + self.batch_size]
+                   for i in range(0, len(recs), self.batch_size)]
+        if len(batches) <= 1:
+            for b in batches:
+                yield from self._classify_batch(b)
+            return
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(self._prep_batch, batches[0])
+            for bi, batch in enumerate(batches):
+                prep = fut.result()
+                if bi + 1 < len(batches):
+                    fut = ex.submit(self._prep_batch, batches[bi + 1])
+                yield from self._classify_batch(batch, prep)
+
+    def _prep_batch(self, recs):
+        todo = [i for i, r in enumerate(recs) if len(r.seq) >= MIN_READ_LEN]
+        islands = self._islands([recs[i].seq for i in todo])
+        return todo, islands
+
+    def _classify_batch(self, recs, prep=None):
         idx = self.idx
         l_ek = idx.len_e_kmer
         results = [ReadResult(r.name, r.seq, r.qual, len(r.seq))
                    for r in recs]
         self.n_classified += len(recs)
-        todo = [i for i, r in enumerate(recs) if len(r.seq) >= MIN_READ_LEN]
-        bufs, seeds, s_off, s_cnt, s_tot = self._islands(
-            [recs[i].seq for i in todo])
+        if prep is None:
+            prep = self._prep_batch(recs)
+        todo, (bufs, seeds, s_off, s_cnt, s_tot) = prep
         if not todo:
             yield from results
             return
@@ -807,13 +832,23 @@ class DeviceClassifier:
             except BaseException as e:  # surface parse errors in order
                 q.put(e)
 
+        from concurrent.futures import ThreadPoolExecutor
+
         t = threading.Thread(target=reader, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield from self._classify_batch(item)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            prev = None          # (batch, prep future) one batch ahead
+            while True:
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                nxt = None
+                if item is not None:
+                    nxt = (item, ex.submit(self._prep_batch, item))
+                if prev is not None:
+                    b, f = prev
+                    yield from self._classify_batch(b, f.result())
+                prev = nxt
+                if item is None:
+                    break
         t.join()

@@ -50,16 +50,18 @@ class WalkRefs(NamedTuple):
 def _rank_from_blocks(fm_blocks, r, c):
     """occ(c, r): count of char c in rows [0, r). r, c: (N,) int32.
 
-    Gathers only the 5 needed words per block (base count for c + the 4
-    char words) instead of the full 9-word row."""
+    Gathers the whole 9-word (36 B) block as ONE row gather: gathers on
+    this chip cost ~10 ns per DESCRIPTOR nearly independent of row width
+    up to ~256 B, so one 9-word row beats five 1-word elements ~5x on
+    the ladder's hottest loop."""
     blk = r // BLOCK
     within = r - blk * BLOCK
-    fb = fm_blocks.reshape(-1)
-    off = blk * 9
-    idx = jnp.stack([off + c, off + 5, off + 6, off + 7, off + 8], axis=1)
-    got = fb[idx]  # (N, 5)
+    fb9 = fm_blocks.reshape(-1, 9)
+    got = fb9[blk]                 # (N, 9)
     base = got[:, 0]
-    words = got[:, 1:5]
+    for k in range(1, 5):          # elementwise select beats a 2nd gather
+        base = jnp.where(c == k, got[:, k], base)
+    words = got[:, 5:9]
     pattern = c.astype(U32) * U32(0x11111111)
     x = words ^ pattern[:, None]
     y = ~(x | (x >> 1) | (x >> 2) | (x >> 3)) & U32(0x11111111)
