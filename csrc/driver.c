@@ -44,7 +44,17 @@ typedef struct {
 } DrvScratch;
 
 static uint8_t DRV_CODE[256];
-static int drv_code_init = 0;
+
+/* Eager init (library constructor): the classify entry points may be
+ * called from multiple host threads with the GIL released; a lazy init
+ * here would be a (benign-looking but real) data race. */
+__attribute__((constructor)) static void drv_code_ctor(void) {
+    for (int i = 0; i < 256; i++) DRV_CODE[i] = 1;
+    DRV_CODE['A'] = DRV_CODE['a'] = 0;
+    DRV_CODE['C'] = DRV_CODE['c'] = 1;
+    DRV_CODE['G'] = DRV_CODE['g'] = 2;
+    DRV_CODE['T'] = DRV_CODE['t'] = 3;
+}
 
 /* dp layout (int64): 0 ms_ctx ptr, 1 rf template ptr (18 slots),
  * 2 ek0 ptr, 3 ek1 ptr, 4 e_hash_mask, 5 step_ek, 6 seed_range,
@@ -328,14 +338,6 @@ int64_t classify_batch_sam(const int64_t *dp, const char *seqs,
                            int64_t *out_meta, char *out, int64_t out_cap,
                            int64_t *out_offs) {
     int64_t rc = 0;
-    if (!drv_code_init) {
-        for (int i = 0; i < 256; i++) DRV_CODE[i] = 1;
-        DRV_CODE['A'] = DRV_CODE['a'] = 0;
-        DRV_CODE['C'] = DRV_CODE['c'] = 1;
-        DRV_CODE['G'] = DRV_CODE['g'] = 2;
-        DRV_CODE['T'] = DRV_CODE['t'] = 3;
-        drv_code_init = 1;
-    }
     Drv d;
     drv_load(&d, dp);
     int64_t max_len = 1;
@@ -393,14 +395,6 @@ int64_t classify_batch(const int64_t *dp, const char *seqs,
                        const int64_t *lens, const int64_t *effs,
                        int64_t n_reads, int64_t *out_meta,
                        int64_t *out_chains, int64_t chain_cap) {
-    if (!drv_code_init) {
-        for (int i = 0; i < 256; i++) DRV_CODE[i] = 1;
-        DRV_CODE['A'] = DRV_CODE['a'] = 0;
-        DRV_CODE['C'] = DRV_CODE['c'] = 1;
-        DRV_CODE['G'] = DRV_CODE['g'] = 2;
-        DRV_CODE['T'] = DRV_CODE['t'] = 3;
-        drv_code_init = 1;
-    }
     Drv d;
     drv_load(&d, dp);
     if (chain_cap < DRV_CCAP) return -1;

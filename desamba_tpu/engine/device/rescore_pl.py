@@ -113,9 +113,11 @@ def _build_sorted_rk(codes_fr, read_len):
     valid = ar < n_k9[:, None]
     # ONE unstable single-key sort instead of a stable argsort: key =
     # (18-bit 9-mer value << pos_bits) | position encodes the stable tie
-    # order in the key itself (top key 2^31 - 1 just fits i32)
+    # order in the key itself. 18 + pos_bits <= 30 keeps every valid key
+    # strictly below the INT32_MAX invalid sentinel (at 31 bits a poly-T
+    # 9-mer at the max position would collide with it and be dropped).
     pos_bits = max(13, int(K - 1).bit_length())
-    if 18 + pos_bits <= 31:
+    if 18 + pos_bits <= 30:
         fwd_keys = jnp.where(valid, (fwd_vals << pos_bits) | ar, big)
         rev_keys = jnp.where(valid, (rev_vals << pos_bits) | ar, big)
         keys = jnp.sort(jnp.stack([rev_keys, fwd_keys], axis=1), axis=2)
@@ -326,6 +328,9 @@ def _make_kernel(n_bases: int, NR: int, KR: int, WQR: int, RR: int,
             off0 = jnp.maximum(goff, 0)
             gw0 = off0 >> 4
             cb = off0 & 15
+            # refrows carries one trailing zero row, so NR - 2 IS the
+            # last data row: in-range windows are never mis-aligned and
+            # the 2-row DMA below never reads past the buffer.
             r0 = jnp.clip(gw0 >> 7, 0, NR - 2)
             o = gw0 & 127
             cp = pltpu.make_async_copy(refrows.at[pl.ds(r0, 2), :],
@@ -1028,12 +1033,18 @@ def rescore_kernel_pl(inp: RescoreIn, ref_pk, ref_off, ref_len_arr,
     rkv3 = rkv.reshape(B, 2 * KR, LANES)
     rkp3 = rkp_.reshape(B, 2 * KR, LANES)
 
-    # reference as (NR, 128) u32 word rows
+    # reference as (NR, 128) u32 word rows, plus ONE extra zero row so
+    # fetch_window's 2-row DMA stays in range even when the window start
+    # falls in the final row (r0 = gw0 >> 7 may then be NR - 2, i.e. the
+    # true last data row, and r0 + 1 hits the pad row). Without the pad
+    # the old clamp to NR - 2 silently fetched 2048 chars too early for
+    # tail-of-last-sequence windows.
     rw = ref_pk.reshape(-1)
     padw = (-rw.shape[0]) % LANES
     if padw:
         rw = jnp.pad(rw, (0, padw))
-    refrows = rw.reshape(-1, LANES)
+    refrows = jnp.concatenate(
+        [rw.reshape(-1, LANES), jnp.zeros((1, LANES), rw.dtype)])
     NR = refrows.shape[0]
 
     nref = ref_off.shape[0]

@@ -67,8 +67,12 @@ class ShardedArray:
     def reshape(self, *shape):
         if len(shape) == 1 and not isinstance(shape[0], int):
             shape = tuple(shape[0])
-        assert shape == (-1,), "ShardedArray only supports reshape(-1)"
         n = math.prod(self.global_shape)
+        if len(shape) == 2 and shape[0] == -1 and shape[1] > 0:
+            # blocked row view (e.g. the 9-word FM blocks): legal for any
+            # row_b dividing ROW_ALIGN, so shard boundaries stay row-aligned
+            return ShardedArray(self.shard, (n,), self.axis).as_rows(shape[1])
+        assert shape == (-1,), "ShardedArray only supports reshape(-1)/(-1,n)"
         return ShardedArray(self.shard, (n,), self.axis)
 
     def __getitem__(self, idx):
@@ -150,7 +154,10 @@ SHARDED_IXR_FIELDS = frozenset({
 })
 
 
-ROW_ALIGN = 256  # shard lengths divide this so as_rows(<=256) is legal
+# Shard lengths are a multiple of ROW_ALIGN so as_rows(row_b) is legal
+# for every row_b that divides it: all powers of two <= 256 AND the
+# 9-word FM block rows (2304 = 256 * 9).
+ROW_ALIGN = 2304
 
 
 def _flat_pad(arr, n_idx: int):
