@@ -1,15 +1,29 @@
 """Batched FM rank + backward MEM search on device.
 
 The reference's hottest scalar loop (occ: src/bwt.c:43-65, called twice per
-char per seed, SURVEY §3.4) becomes a lane-parallel `lax.while_loop` over
-the interval phase, and the per-row single walks (src/cly.c:1344-1383) —
-the dominant sequential cost, one dependent row gather per matched char —
-collapse to position-space packed LCEs over the unitig text (see
-textwalk.py): the full SA (row_pos) turns "LF-walk w rows" into "compare
-w chars starting at row_pos[row]-1", ~w/16 word gathers.
+char per seed, SURVEY §3.4) is re-designed for the TPU in POSITION space:
+because this index keeps the full suffix array (row_pos) and its inverse
+(isa), the whole backward-extension interval phase of bwt_MEM_search
+(src/cly.c:1388-1447) collapses to a handful of *parallel* packed LCEs —
+one per row of the initial 13-mer interval — plus closed-form stop
+resolution over their order statistics. The dependent rank-query chase
+(one lockstep `lax.while_loop` trip per extension char, 2 block gathers
+per lane per trip, worst-lane depth ~40 on the demo) disappears for every
+lane whose initial interval is <= SA_CAP rows (p100 = 8 on the demo
+index; large indexes fall back per lane to the rank chase).
 
-The reference's SP_SET row dedup (src/cly.c:1281-1298) is kept bit-exact
-as a set of disjoint position intervals carried through the ladder loops.
+Equivalence: the interval after k backward extensions = the rows of the
+initial 13-mer interval whose preceding k text chars match the read
+(FM LF preserves relative row order among same-char extensions), so
+  n(k) = #{i : lce_i >= k}
+and every stop flag of the reference loop is a comparison against the
+order statistics of {lce_i}. Survivor rows map to positions p_i - (k*+1).
+
+The per-row single walks (src/cly.c:1344-1383) already run in position
+space (textwalk.py): "LF-walk w rows" == "compare w chars starting at
+row_pos[row]-1", ~w/16 word gathers. The reference's SP_SET row dedup
+(src/cly.c:1281-1298) is kept bit-exact as a set of disjoint position
+intervals carried through the ladder loops.
 
 Parity contract (tests/test_device_engine.py): for identical probe inputs
 and SP_SET state, `mem_probe` returns exactly the MemRst set of the gold
@@ -26,6 +40,7 @@ import jax.numpy as jnp
 
 from ...constants import L_PRE_IDX
 from .arrays import BLOCK
+from .compaction import compact_rows
 from .textwalk import (
     find_bit_low,
     ivset_init,
@@ -35,6 +50,14 @@ from .textwalk import (
 
 U32 = jnp.uint32
 I32 = jnp.int32
+
+# Initial-interval cap for the position-space path: lanes whose 13-mer
+# bucket holds more rows take the rank-chase fallback. 16 covers both
+# fast (max_rst 2) and slow (max_rst 8) order statistics with room for
+# denser indexes than the demo (p100 = 8 there).
+SA_CAP = 16
+
+BIG = jnp.int32(1 << 30)
 
 
 class WalkRefs(NamedTuple):
@@ -83,44 +106,20 @@ def spset_init(n):
     return ivset_init(n)
 
 
-@functools.partial(jax.jit, static_argnames=("max_rst", "l_min_mth"))
-def mem_probe(ixr, fm_blocks, rank6, hash13, codes, codes_pk, str_idx,
-              pre_v, active, spset, spcount, max_rst: int, l_min_mth: int,
-              col_off=None, row_idx=None):
-    """One backward MEM probe per lane (bwt_MEM_search, src/cly.c:1388-1447).
-
-    codes: (N, L) uint8 per-lane read codes (lane-aligned); codes_pk:
-    textwalk 2-bit packing of codes; str_idx: (N,) index of the probe's
-    last char; pre_v: (N,) 13-mer value; l_max_mth is str_idx per the
-    reference. col_off/row_idx (N,), if given, map lanes onto a shared
-    per-read F+R buffer via (row_idx, col_off + i).
-    Returns per-lane results for up to max_rst rows plus updated SP_SET
-    state:
-      res_len:   (N, R) int32 total match length (<l_min invalid; -1000ish
-                 on dedup abort, matching the reference)
-      res_sp:    (N, R) uint32 final row of each walk
-      res_sa:    (N, R) uint32 SA-sampled row (res_sa_ok False if none)
-      res_sa_l:  (N, R) int32 negative offset from the sample
-      res_valid: (N, R) bool
-    """
+def _interval_rank_chase(ixr, fm_blocks, rank6, codes, str_idx, sp0, ep0,
+                         active, max_rst: int, l_min_mth: int, col_off,
+                         rows):
+    """The reference's occ-chase interval loop, lane-lockstep — fallback
+    for lanes whose initial 13-mer interval exceeds SA_CAP rows.
+    Returns (match_len, str_i, n_sp, n_ep, fail)."""
     N = str_idx.shape[0]
     L = codes.shape[1]
-    lanes = jnp.arange(N)
-    if col_off is None:
-        col_off = jnp.zeros((N,), jnp.int32)
-    rows = lanes if row_idx is None else row_idx
-    n_text = ixr.isa.shape[0]
-
-    # ---- interval phase ----------------------------------------------------
-    sp = hash13[pre_v].astype(U32)
-    ep = hash13[pre_v + 1].astype(U32)
     match_len = jnp.full((N,), L_PRE_IDX, jnp.int32)
     str_i = str_idx - L_PRE_IDX
     l_max = str_idx
     n_sp = jnp.zeros((N,), U32)
     n_ep = jnp.zeros((N,), U32)
     fail = jnp.zeros((N,), bool)
-    running = active
 
     def ibody(st):
         sp, ep, match_len, str_i, n_sp_o, n_ep_o, fail, running = st
@@ -148,12 +147,159 @@ def mem_probe(ixr, fm_blocks, rank6, hash13, codes, codes_pk, str_idx,
         str_i = jnp.where(running, str_i - 1, str_i)
         return sp, ep, match_len, str_i, n_sp_o, n_ep_o, fail, cont
 
-    st = (sp, ep, match_len, str_i, n_sp, n_ep, fail, running)
+    st = (sp0, ep0, match_len, str_i, n_sp, n_ep, fail, active)
     st = jax.lax.while_loop(lambda s: s[7].any(), ibody, st)
     _, _, match_len, str_i, n_sp, n_ep, fail, _ = st
+    return match_len, str_i, n_sp, n_ep, fail
+
+
+def _interval_sa(ixr, codes_pk, str_idx, sp0, n0, active,
+                 max_rst: int, l_min_mth: int, col_off, rows,
+                 sa_cap: int):
+    """Position-space interval phase for lanes with n0 <= SA_CAP.
+
+    Computes, per lane: the backward LCE of every initial-interval row,
+    then the reference loop's first-stop iteration k* in closed form.
+    Returns (match_len, str_i, fail, n_rows, w_pos, w_valid):
+      w_pos   (N, SA_CAP) int32 — survivor row text positions, in FM row
+              order (= initial-interval order), dense from slot 0;
+      w_valid (N, SA_CAP) bool.
+    """
+    N = str_idx.shape[0]
+    C = sa_cap
+    slot = jnp.arange(C, dtype=I32)[None, :]
+    rvalid = active[:, None] & (slot < n0[:, None])
+
+    # compact the (lane, slot) pairs so the LCE runs only on real rows:
+    # sum(n0) ~ 1.5x lanes on the demo vs N*SA_CAP dense. Lanes that
+    # would spill past 2N were already routed to the rank chase.
+    flatv = rvalid.reshape(-1)
+    Wc = 2 * N
+    fg, fs, fvalid = compact_rows(flatv, Wc)
+    f_lane = fg // C
+    f_slot = fg - f_lane * C
+    rowix = (sp0[f_lane].astype(I32) + f_slot)
+    n_text = ixr.isa.shape[0]
+    p = ixr.row_pos[jnp.clip(rowix, 0, n_text - 1)]
+    cap_l = jnp.maximum(str_idx - L_PRE_IDX + 1, 0)
+    lce = lce_backward(ixr.text_pk, ixr.sep_any, codes_pk, rows[f_lane],
+                       col_off[f_lane], str_idx[f_lane] - L_PRE_IDX,
+                       p - 1, cap_l[f_lane], fvalid)
+    # scatter back to dense (N, SA_CAP); invalid slots -> -1
+    lden = jnp.full((N * C,), -1, I32).at[fs].set(
+        jnp.where(fvalid, lce, -1), mode="drop").reshape(N, C)
+    pden = jnp.zeros((N * C,), I32).at[fs].set(p, mode="drop").reshape(N, C)
+
+    # order statistics (descending)
+    lsort = -jnp.sort(-lden, axis=1)
+    # A_{m+1}: the (max_rst+1)-th largest lce (0 when fewer rows exist:
+    # n(k) <= n0 <= max_rst for all k >= 1 then)
+    if max_rst + 1 <= C:
+        a_m1 = jnp.maximum(lsort[:, max_rst], 0)
+    else:
+        a_m1 = jnp.zeros((N,), I32)
+    a_2 = jnp.maximum(lsort[:, 1], 0) if C >= 2 else jnp.zeros((N,), I32)
+
+    gmin_k = l_min_mth - 1 - L_PRE_IDX       # ge_min <=> k >= gmin_k
+    l_max = str_idx
+    k_a = jnp.maximum(gmin_k, a_m1)
+    k_b0 = jnp.maximum(gmin_k, l_max - L_PRE_IDX)
+    k_b = jnp.where(k_b0 < a_m1, k_b0, BIG)  # b needs n(k+1) > max_rst
+    k_c = jnp.where(a_2 < gmin_k, a_2, BIG)  # c only before ge_min
+    k_star = jnp.minimum(jnp.minimum(k_a, k_b), k_c)
+    k_off = str_idx - L_PRE_IDX + 1          # first k reading str_i < 0
+    fail_off = k_star >= k_off
+    is_b = (k_star == k_b) & ~fail_off
+    k_eff = jnp.minimum(k_star, k_off)
+
+    surv = rvalid & (lden >= (k_eff + 1)[:, None])
+    n_new = jnp.sum(surv, axis=1, dtype=I32)
+    fail = fail_off | is_b | (n_new == 0)
+    match_len = L_PRE_IDX + k_eff
+    str_i = str_idx - L_PRE_IDX - (k_eff + 1)
+    n_rows = jnp.where(active & ~fail, jnp.minimum(n_new, max_rst), 0)
+
+    # dense-pack survivor positions in row order (order preserved by LF)
+    dpos = jnp.cumsum(surv.astype(I32), axis=1) - 1
+    dest = jnp.where(surv & (dpos < C), dpos, C)
+    lanes2 = jnp.broadcast_to(jnp.arange(N, dtype=I32)[:, None], (N, C))
+    w_pos = jnp.zeros((N, C + 1), I32).at[lanes2, dest].set(
+        pden - (k_eff + 1)[:, None], mode="drop")[:, :C]
+    w_valid = slot < n_rows[:, None]
+    return match_len, str_i, fail, n_rows, w_pos, w_valid
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_rst", "l_min_mth", "sa_cap"))
+def mem_probe(ixr, fm_blocks, rank6, hash13, codes, codes_pk, str_idx,
+              pre_v, active, spset, spcount, max_rst: int, l_min_mth: int,
+              col_off=None, row_idx=None, sa_cap: int = SA_CAP):
+    """One backward MEM probe per lane (bwt_MEM_search, src/cly.c:1388-1447).
+
+    codes: (N, L) uint8 per-lane read codes (lane-aligned); codes_pk:
+    textwalk 2-bit packing of codes; str_idx: (N,) index of the probe's
+    last char; pre_v: (N,) 13-mer value; l_max_mth is str_idx per the
+    reference. col_off/row_idx (N,), if given, map lanes onto a shared
+    per-read F+R buffer via (row_idx, col_off + i).
+    Returns per-lane results for up to max_rst rows plus updated SP_SET
+    state:
+      res_len:   (N, R) int32 total match length (<l_min invalid; -1000ish
+                 on dedup abort, matching the reference)
+      res_sp:    (N, R) uint32 final row of each walk
+      res_sa:    (N, R) uint32 SA-sampled row (res_sa_ok False if none)
+      res_sa_l:  (N, R) int32 negative offset from the sample
+      res_valid: (N, R) bool
+    """
+    N = str_idx.shape[0]
+    lanes = jnp.arange(N)
+    if col_off is None:
+        col_off = jnp.zeros((N,), jnp.int32)
+    rows = lanes if row_idx is None else row_idx
+    n_text = ixr.isa.shape[0]
+
+    # ---- interval phase ----------------------------------------------------
+    sp0 = hash13[pre_v].astype(U32)
+    ep0 = hash13[pre_v + 1].astype(U32)
+    n0 = (ep0 - sp0).astype(I32)
+    big = active & (n0 > sa_cap)
+    sa_act = active & ~big
+    # the SA path compacts all lanes' interval rows to width 2N; lanes
+    # whose rows would spill past it fall back to the rank chase too
+    n_eff = jnp.where(sa_act, jnp.minimum(n0, sa_cap), 0)
+    fit = jnp.cumsum(n_eff) <= 2 * N
+    big = big | (sa_act & ~fit)
+    sa_act = sa_act & fit
+
+    if sa_cap > 0:
+        (ml_s, si_s, fail_s, nr_s, wpos_s, wval_s) = _interval_sa(
+            ixr, codes_pk, str_idx, sp0, n0, sa_act, max_rst, l_min_mth,
+            col_off, rows, sa_cap)
+    else:  # chase-only (test/fallback mode)
+        z = jnp.zeros((N,), jnp.int32)
+        ml_s, si_s, nr_s = z, z, z
+        fail_s = jnp.zeros((N,), bool)
+        wpos_s = jnp.zeros((N, 1), jnp.int32)
+        wval_s = jnp.zeros((N, 1), bool)
+
+    def chase(_):
+        return _interval_rank_chase(ixr, fm_blocks, rank6, codes, str_idx,
+                                    sp0, ep0, big, max_rst, l_min_mth,
+                                    col_off, rows)
+
+    def no_chase(_):
+        z = jnp.zeros((N,), jnp.int32)
+        zu = jnp.zeros((N,), U32)
+        return z, z, zu, zu, jnp.zeros((N,), bool)
+
+    ml_b, si_b, nsp_b, nep_b, fail_b = jax.lax.cond(
+        big.any(), chase, no_chase, None)
+
+    match_len = jnp.where(big, ml_b, ml_s)
+    str_i = jnp.where(big, si_b, si_s)
+    fail = jnp.where(big, fail_b, fail_s)
     ok = active & ~fail
-    n_rows = jnp.where(ok, (n_ep - n_sp).astype(jnp.int32), 0)
-    n_rows = jnp.minimum(n_rows, max_rst)
+    nr_b = jnp.where(big & ok, (nep_b - nsp_b).astype(I32), 0)
+    n_rows = jnp.where(big, jnp.minimum(nr_b, max_rst), nr_s)
 
     # ---- per-row walks in position space (bwt_single_search) --------------
     R = max_rst
@@ -163,14 +309,18 @@ def mem_probe(ixr, fm_blocks, rank6, hash13, codes, codes_pk, str_idx,
     res_sa_ok = jnp.zeros((N, R), bool)
     res_sa_l = jnp.zeros((N, R), jnp.int32)
     res_valid = jnp.zeros((N, R), bool)
-    wmax = jnp.maximum(0, l_max - match_len)
+    wmax = jnp.maximum(0, str_idx - match_len)
 
     def row_body(k, carry):
         (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
          iv, cnt) = carry
-        row = (n_sp + k.astype(U32)).astype(I32)
         do = ok & (k < n_rows)
-        p = ixr.row_pos[jnp.clip(row, 0, n_text - 1)]
+        # walk-start position: survivor list (sa path) or the rank-chase
+        # interval rows n_sp + k mapped through row_pos (big lanes)
+        row_b = (nsp_b + k.astype(U32)).astype(I32)
+        p_b = ixr.row_pos[jnp.clip(row_b, 0, n_text - 1)]
+        p_s = wpos_s[:, jnp.minimum(k, wpos_s.shape[1] - 1)]
+        p = jnp.where(big, p_b, p_s)
         nat = lce_backward(ixr.text_pk, ixr.sep_any, codes_pk, rows,
                            col_off, str_i, p - 1, wmax, do)
         iv, cnt, dup0, abort, wlen = ivset_walk(iv, cnt, p, nat, do)

@@ -220,7 +220,24 @@ def test_device_classifier_end_to_end(device_setup):
 
 
 def test_mem_probe_parity(device_setup):
-    """Batched MEM probes == gold bwt_mem_search incl. SP_SET dedup."""
+    """Batched MEM probes == gold bwt_mem_search incl. SP_SET dedup
+    (default path: position-space interval resolution)."""
+    _mem_probe_parity(device_setup, None)
+
+
+def test_mem_probe_parity_rank_chase(device_setup):
+    """sa_cap=0 forces every lane onto the rank-chase fallback — the
+    path large-index 13-mer buckets take (fm._interval_rank_chase)."""
+    _mem_probe_parity(device_setup, 0)
+
+
+def test_mem_probe_parity_mixed_cap(device_setup):
+    """sa_cap=2 routes lanes with tiny intervals through the SA path
+    and the rest through the chase, in the same batch."""
+    _mem_probe_parity(device_setup, 2)
+
+
+def _mem_probe_parity(device_setup, sa_cap):
     from desamba_tpu.engine.device.fm import mem_probe
     from desamba_tpu.engine.gold.fm import MAX_U64, SpSet, bwt_mem_search
     from desamba_tpu.engine.gold.islands import (
@@ -272,10 +289,11 @@ def test_mem_probe_parity(device_setup):
             pre_v[i] = int(km[ki]) & PRE_IDX_MASK
             str_idx[i] = ki + l_ek - 1
             act[i] = True
+        kw = {} if sa_cap is None else {"sa_cap": sa_cap}
         out = mem_probe(ixr, dix.fm_blocks, dix.rank,
                         dix.hash13, codes_d, codes_pk, jnp.asarray(str_idx),
                         jnp.asarray(pre_v), jnp.asarray(act), spset, spcount,
-                        MEM_SEARCH_FAST, MIN_MEM_LEN_FAST - 1)
+                        MEM_SEARCH_FAST, MIN_MEM_LEN_FAST - 1, **kw)
         (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
          spset, spcount) = out
         host = [np.asarray(x) for x in
