@@ -56,20 +56,18 @@ dix = eng.dix
 ixr = eng.ixr
 
 
-def run_all(tag):
-    # compile
-    for kind, codes_fr, buf_len, pre13, lane_args, NB in CAP:
-        a = (ixr, dix.fm_blocks, dix.rank, dix.hash13, codes_fr, buf_len,
-             pre13, dix.q_mem, dix.q_lv, *lane_args)
-        kw = dict(l_ek=idx.len_e_kmer, a_cap=lad_a_cap, pack_cap=2 * NB,
-                  bl=min(128, NB))
-        if kind == "fast":
-            jax.block_until_ready(lad.fast_ladder(*a, **kw))
-        else:
-            jax.block_until_ready(lad.slow_ladder(*a, m_cap=lad_m_cap, **kw))
+PASS = [0]
+
+
+def _one_pass(measure):
+    # the axon relay memoizes (executable, inputs) -> outputs: perturb a
+    # code char per pass so every timed call really executes
+    PASS[0] += 1
+    pp = PASS[0]
     t0 = time.perf_counter()
     for kind, codes_fr, buf_len, pre13, lane_args, NB in CAP:
-        a = (ixr, dix.fm_blocks, dix.rank, dix.hash13, codes_fr, buf_len,
+        cf = codes_fr.at[0, 0].set((codes_fr[0, 0] + pp) & 3)
+        a = (ixr, dix.fm_blocks, dix.rank, dix.hash13, cf, buf_len,
              pre13, dix.q_mem, dix.q_lv, *lane_args)
         kw = dict(l_ek=idx.len_e_kmer, a_cap=lad_a_cap, pack_cap=2 * NB,
                   bl=min(128, NB))
@@ -77,7 +75,12 @@ def run_all(tag):
             jax.block_until_ready(lad.fast_ladder(*a, **kw))
         else:
             jax.block_until_ready(lad.slow_ladder(*a, m_cap=lad_m_cap, **kw))
-    dt = time.perf_counter() - t0
+    return time.perf_counter() - t0
+
+
+def run_all(tag):
+    _one_pass(False)            # compile + warm
+    dt = min(_one_pass(True) for _ in range(2))
     print(f"  {tag:10s} {dt:6.2f}s")
     return dt
 
