@@ -167,8 +167,18 @@ class DeviceClassifier:
             # the buckets' device compute and downloads
             pending.append((grp, self._k_bloom(jnp.asarray(strands),
                                                jnp.asarray(lens))))
+        # ONE host fetch for all buckets (every fetch is a ~35-100 ms
+        # relay round trip): flatten each bucket's packed bits and
+        # download the concatenation once
+        flat = jnp.concatenate([pd.reshape(-1) for _, pd in pending])
+        flat_h = np.asarray(flat)
+        at = 0
         for grp, packed_dev in pending:
-            got = np.unpackbits(np.asarray(packed_dev), axis=1).astype(bool)
+            Bpad, Wb = packed_dev.shape
+            got = np.unpackbits(
+                flat_h[at : at + Bpad * Wb].reshape(Bpad, Wb),
+                axis=1).astype(bool)
+            at += Bpad * Wb
             for k, i in enumerate(grp):
                 nk = len(bufs[i]) // 2 - l_ek + 1
                 hits[2 * i, :nk] = got[2 * k, :nk]
@@ -229,14 +239,39 @@ class DeviceClassifier:
         # dispatch overlaps the groups' device compute)
         outs = [self._dispatch_ladder_group(kind, ls, g, codes_fr, buf_len,
                                             pre13) for g in groups]
-        for g, out in zip(groups, outs):
-            packed, base, acnt, skip, bad = self._drain_ladder_group(out)
+        # ONE host fetch for all groups: every synchronous value fetch
+        # costs a full relay round trip (~35-100 ms measured), which
+        # dominated the ladder wall at 5 fetches x n_groups. The small
+        # per-lane vectors are packed into a single (sum NB, 4) array on
+        # device; anchor rows stay in HBM as before.
+        info_parts = []
+        for (out, NB) in outs:
+            _packed, base, acnt, skip, _povf = out
+            # povf is the .any() of the per-lane recompute below — not
+            # packed (and shaped per-device on a mesh)
+            info_parts.append(jnp.stack(
+                [base.astype(jnp.int32), acnt.astype(jnp.int32),
+                 skip.astype(jnp.int32)], axis=1))
+        info_h = np.asarray(jnp.concatenate(info_parts, axis=0)
+                            if len(info_parts) > 1 else info_parts[0])
+        at = 0
+        for g, (out, NB) in zip(groups, outs):
+            info = info_h[at : at + NB]
+            at += NB
+            base = info[:, 0].astype(np.int64)
+            acnt = info[:, 1]
+            skip = info[:, 2].astype(bool)
+            # per-LANE pack overflow only (the packed povf scalar is the
+            # .any() of this — OR-ing it in would regress to per-batch
+            # fallback)
+            bad = base + np.minimum(acnt, A_CAP) > self._pack_cap_local(NB)
+            base = self._globalize_base(base, NB)
             base_all[g] = offset + base[: len(g)]
             acnt_all[g] = acnt[: len(g)]
             skip_all[g] = skip[: len(g)]
             bad_all[g] = bad[: len(g)]
-            packed_all.append(packed)
-            offset += packed.shape[0]
+            packed_all.append(out[0])
+            offset += out[0].shape[0]
         packed_dev = (packed_all[0] if len(packed_all) == 1
                       else jnp.concatenate(packed_all, axis=0))
         return [packed_dev, base_all, acnt_all, skip_all, bad_all]
@@ -260,21 +295,6 @@ class DeviceClassifier:
                      jnp.asarray(cols[4]), jnp.asarray(cols[5]),
                      jnp.asarray(cols[6]), jnp.asarray(on))
         return self._k_ladder(kind, codes_fr, buf_len, pre13, lane_args, NB), NB
-
-    def _drain_ladder_group(self, out_nb):
-        out, NB = out_nb
-        # anchor rows stay in HBM; only the small per-lane vectors land
-        # on host (the pack download was a round-1 bottleneck)
-        packed = out[0]
-        rest = [np.asarray(x) for x in jax.block_until_ready(out[1:])]
-        base, acnt, skip, _povf = rest
-        # per-LANE pack overflow (lanes whose anchor rows spilled past
-        # the pack capacity): only the owning reads fall back, not the
-        # whole batch (a single repeat-heavy read used to rescue
-        # everything through the gold oracle)
-        bad = base + np.minimum(acnt, A_CAP) > self._pack_cap_local(NB)
-        base = self._globalize_base(base, NB)
-        return [packed, base, acnt, skip, bad]
 
     def _pack_cap_local(self, NB):
         # single device: the ladder pack spans the whole group
@@ -543,10 +563,14 @@ class DeviceClassifier:
                     np.zeros((B_pad,), bool)
             out = self._k_chain(packed, gidx, nanc)
             ch, n, pre, ovf, anc3 = out
-            # writable copies: the M3 stage scatters its results in
-            n_h = np.array(n)
-            dec = np.array(ch[:, 0, (dc.H_ANUM, dc.H_SUM)])
-            ovf_h = np.asarray(ovf)
+            # ONE packed fetch (n, dec0, dec1, ovf) per stage: separate
+            # np.asarray calls each cost a full relay round trip
+            info = np.array(jnp.stack(
+                [n, ch[:, 0, dc.H_ANUM], ch[:, 0, dc.H_SUM],
+                 ovf.astype(jnp.int32)], axis=1))
+            n_h = info[:, 0]
+            dec = info[:, 1:3]      # writable: the M3 stage scatters in
+            ovf_h = info[:, 3].astype(bool)
             return out, n_h, dec, ovf_h
 
         m3_sets = [None, None, None]   # per chain stage
@@ -572,9 +596,12 @@ class DeviceClassifier:
             npad[: len(rows)] = nw
             chm, nm, prem, ovfm, anc3m = self._k_chain_m3(packed, gpad,
                                                           npad)
-            nm_h = np.asarray(nm)
-            ovfm_h = np.asarray(ovfm)
-            decm = np.asarray(chm[:, 0, (dc.H_ANUM, dc.H_SUM)])
+            infom = np.asarray(jnp.stack(
+                [nm, chm[:, 0, dc.H_ANUM], chm[:, 0, dc.H_SUM],
+                 ovfm.astype(jnp.int32)], axis=1))
+            nm_h = infom[:, 0]
+            ovfm_h = infom[:, 3].astype(bool)
+            decm = infom[:, 1:3]
             ok = ~ovfm_h[: len(rows)]
             fallback[rows[~ok]] = True
             n_h[rows[ok]] = nm_h[: len(rows)][ok]
@@ -582,7 +609,7 @@ class DeviceClassifier:
             m3_sets[stage] = dict(
                 map={int(k): i for i, k in enumerate(rows)},
                 ok={int(k) for k in rows[ok]},
-                ch=chm, n=nm, pre=prem, anc3=anc3m, nanc=npad)
+                ch=chm, n=nm_h, pre=prem, anc3=anc3m, nanc=npad)
 
         # ---- fast chains (device) -----------------------------------------
         if fast_out is not None:
@@ -705,10 +732,18 @@ class DeviceClassifier:
             schash=schash, n_hash=n_hash, codes_fr=codes_fr,
             buf_len=buf_len, read_len=jnp.asarray(rlen_np))
         chains_out, fb, _reason, _iters = self._k_rescore(inp)
-        chains_h = np.asarray(chains_out)
-        fb_h = np.asarray(fb)
-        n_h = np.asarray(n_rc)
-        over_h = np.asarray(over)
+        # ONE packed fetch: append (fb, n_rc, over) as an extra chain row
+        # instead of three separate ~35-100 ms relay round trips
+        Bq, Cq, Fq = chains_out.shape
+        extra = jnp.zeros((Bq, 1, Fq), jnp.int32)
+        extra = extra.at[:, 0, 0].set(fb.astype(jnp.int32))
+        extra = extra.at[:, 0, 1].set(n_rc)
+        extra = extra.at[:, 0, 2].set(over.astype(jnp.int32))
+        allq = np.asarray(jnp.concatenate([chains_out, extra], axis=1))
+        chains_h = allq[:, :Cq]
+        fb_h = allq[:, Cq, 0].astype(bool)
+        n_h = allq[:, Cq, 1]
+        over_h = allq[:, Cq, 2].astype(bool)
 
         # ---- M3 sub-batch prep + rescore (M3_A2-wide anchors) --------------
         if m3_final:
@@ -731,7 +766,7 @@ class DeviceClassifier:
                 chU = chU.at[ua].set(st["ch"][js])
                 preU = preU.at[ua].set(st["pre"][js])
                 ancU = ancU.at[ua].set(st["anc3"][js])
-                nU[ua] = np.asarray(st["n"])[js]
+                nU[ua] = st["n"][js]
                 nancU[ua] = st["nanc"][js]
             three = lambda x: jnp.stack([x, x, x])
             selU = jnp.zeros((Bmu,), jnp.int32)
@@ -752,10 +787,16 @@ class DeviceClassifier:
                 inpU, dix.ref_bin, dix.ref_off, dix.ref_len_arr,
                 n_bases=dix.n_bases, bf=max(8, Bmu // 4),
                 bp=max(8, Bmu // 4), pp=8)
-            chains_hU = np.asarray(chains_oU)
-            fb_hU = np.asarray(fbU)
-            n_hU = np.asarray(n_rcU)
-            over_hU = np.asarray(overU)
+            BqU, CqU, FqU = chains_oU.shape
+            extraU = jnp.zeros((BqU, 1, FqU), jnp.int32)
+            extraU = extraU.at[:, 0, 0].set(fbU.astype(jnp.int32))
+            extraU = extraU.at[:, 0, 1].set(n_rcU)
+            extraU = extraU.at[:, 0, 2].set(overU.astype(jnp.int32))
+            allU = np.asarray(jnp.concatenate([chains_oU, extraU], axis=1))
+            chains_hU = allU[:, :CqU]
+            fb_hU = allU[:, CqU, 0].astype(bool)
+            n_hU = allU[:, CqU, 1]
+            over_hU = allU[:, CqU, 2].astype(bool)
 
         # ---- host finish, in input order ----------------------------------
         def coord(v):

@@ -72,9 +72,11 @@ def _one_pass(measure):
         kw = dict(l_ek=idx.len_e_kmer, a_cap=lad_a_cap, pack_cap=2 * NB,
                   bl=min(128, NB))
         if kind == "fast":
-            jax.block_until_ready(lad.fast_ladder(*a, **kw))
+            out = lad.fast_ladder(*a, **kw)
         else:
-            jax.block_until_ready(lad.slow_ladder(*a, m_cap=lad_m_cap, **kw))
+            out = lad.slow_ladder(*a, m_cap=lad_m_cap, **kw)
+        jax.device_get(out)    # the relay's block_until_ready does not
+                               # actually wait; only value fetch does
     return time.perf_counter() - t0
 
 

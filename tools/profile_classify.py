@@ -46,7 +46,7 @@ def wrap(obj, name, key=None):
 
 wrap(DeviceClassifier, '_islands')
 wrap(DeviceClassifier, '_dispatch_ladder_group', 'ladder_dispatch')
-wrap(DeviceClassifier, '_drain_ladder_group', 'ladder_drain')
+wrap(DeviceClassifier, '_run_ladder', 'ladder_total')
 
 import desamba_tpu.engine.device.classifier as C
 import desamba_tpu.engine.device.chain as dchain_mod
@@ -89,9 +89,9 @@ _bp = C._bloom_packed
 
 def _bp_timed(*a, **kw):
     t0 = time.perf_counter()
-    import jax as _j
-    r = _j.block_until_ready(_bp(*a, **kw))
-    T['bloom_device'] = T.get('bloom_device', 0) + time.perf_counter() - t0
+    r = _bp(*a, **kw)
+    T['bloom_dispatch'] = (T.get('bloom_dispatch', 0)
+                           + time.perf_counter() - t0)
     return r
 
 
