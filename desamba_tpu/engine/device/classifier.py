@@ -438,13 +438,14 @@ class DeviceClassifier:
 
     # ---- main entry --------------------------------------------------------
     def classify_reads(self, recs):
-        """Batched classify with cross-batch overlap: batch N+1's island
-        stage (existence probe + native segmentation + read packing — the
-        host-heavy front end) runs in a worker thread while batch N's
-        ladders/chain/rescore are in flight (the kt_pipeline contract,
-        reference src/lib/kthread.c:157-197). Output order and stream
-        state (prefix-max max_read_l) are untouched: islands prep is
-        state-free and results drain strictly in input order."""
+        """Batched classify, pipelined 2 deep (the kt_pipeline contract,
+        reference src/lib/kthread.c:157-197): batch N+1's island prep
+        runs in a prep thread, its DEVICE phase (dispatches + relay
+        round-trip waits) runs in a device worker thread overlapping
+        batch N's device phase and host finish, and finishes run on the
+        calling thread strictly in input order — StreamState
+        (prefix-max max_read_l) updates stay serialized, so output is
+        bit-identical to the serial schedule."""
         from concurrent.futures import ThreadPoolExecutor
 
         batches = [recs[i : i + self.batch_size]
@@ -453,20 +454,33 @@ class DeviceClassifier:
             for b in batches:
                 yield from self._classify_batch(b)
             return
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(self._prep_batch, batches[0])
-            for bi, batch in enumerate(batches):
-                prep = fut.result()
+        with ThreadPoolExecutor(max_workers=1) as prep_ex, \
+                ThreadPoolExecutor(max_workers=2) as dev_ex:
+            prep_fut = prep_ex.submit(self._prep_batch, batches[0])
+            dev_futs = [dev_ex.submit(self._device_phase, batches[0],
+                                      prep_fut.result())]
+            if len(batches) > 1:
+                prep_fut = prep_ex.submit(self._prep_batch, batches[1])
+            for bi in range(len(batches)):
                 if bi + 1 < len(batches):
-                    fut = ex.submit(self._prep_batch, batches[bi + 1])
-                yield from self._classify_batch(batch, prep)
+                    dev_futs.append(dev_ex.submit(
+                        self._device_phase, batches[bi + 1],
+                        prep_fut.result()))
+                    if bi + 2 < len(batches):
+                        prep_fut = prep_ex.submit(self._prep_batch,
+                                                  batches[bi + 2])
+                finish = dev_futs.pop(0).result()
+                yield from finish()
+
+    def _classify_batch(self, recs, prep=None):
+        return self._device_phase(recs, prep)()
 
     def _prep_batch(self, recs):
         todo = [i for i, r in enumerate(recs) if len(r.seq) >= MIN_READ_LEN]
         islands = self._islands([recs[i].seq for i in todo])
         return todo, islands
 
-    def _classify_batch(self, recs, prep=None):
+    def _device_phase(self, recs, prep=None):
         idx = self.idx
         l_ek = idx.len_e_kmer
         results = [ReadResult(r.name, r.seq, r.qual, len(r.seq))
@@ -476,8 +490,7 @@ class DeviceClassifier:
             prep = self._prep_batch(recs)
         todo, (bufs, seeds, s_off, s_cnt, s_tot) = prep
         if not todo:
-            yield from results
-            return
+            return lambda: results
         B = len(todo)
         rl_arr = np.array([len(recs[i].seq) for i in todo], np.int32)
 
@@ -798,54 +811,59 @@ class DeviceClassifier:
             n_hU = allU[:, CqU, 1]
             over_hU = allU[:, CqU, 2].astype(bool)
 
-        # ---- host finish, in input order ----------------------------------
-        def coord(v):
-            # kernel coordinates are uint32 bit patterns in int32; gold's
-            # finish code works in the masked-u32 domain
-            return int(v) & 0xFFFFFFFF
+        # ---- host finish, in input order (closure: run on the
+        # main thread so StreamState updates stay serialized when
+        # device phases of later batches run concurrently) ----
+        def _finish():
+            def coord(v):
+                # kernel coordinates are uint32 bit patterns in int32; gold's
+                # finish code works in the masked-u32 domain
+                return int(v) & 0xFFFFFFFF
 
-        from ..gold.rescore import post_finish_native
-        for k, i in enumerate(todo):
-            res = results[i]
-            if k in m3_row:   # M3 sub-batch outputs for this read
-                u = m3_row[k]
-                ch_k, n_k = chains_hU[u], n_hU[u]
-                fb_k, ov_k = fb_hU[u], over_hU[u]
-                na_k = nancU[u]
-            else:
-                ch_k, n_k = chains_h[k], n_h[k]
-                fb_k, ov_k = fb_h[k], over_h[k]
-                na_k = nanc_final[k]
-            if (fallback[k] or ov_k or (n_k > 0 and fb_k)):
-                g = self.gold
-                g.state = self.state
-                results[i] = g.classify_read(recs[i].name, recs[i].seq,
-                                             recs[i].qual)
-                self.n_fallback += 1
-                continue
-            res.anchors = [None] * int(na_k)
-            chains = []
-            for ci in range(int(n_k)):
-                row = ch_k[ci]
-                chains.append(Chain(
-                    ref_id=int(row[dr.C_REF]), q_t_dis=0,
-                    sum_score=int(row[dr.C_SUM]),
-                    anchor_number=int(row[dr.C_ANUM]),
-                    direction=int(row[dr.C_DIR]), with_top_anchor=False,
-                    primary=0, pri_index=0, t_st=coord(row[dr.C_TST]),
-                    t_ed=coord(row[dr.C_TED]), q_st=coord(row[dr.C_QST]),
-                    q_ed=coord(row[dr.C_QED]), indel=int(row[dr.C_INDEL]),
-                    chain_id=ci, chain_anchor_cur=None))
-            res.chains = chains
-            rl = int(rl_arr[k])
-            if res.chains and post_finish_native(self.idx, res.chains,
-                                                 rl, self.state,
-                                                 self.opts):
-                continue
-            if res.chains:
-                post_rescore_finish(res.chains, rl, self.state, self.opts)
-            detect_primary(res.chains, rl)
-        yield from results
+            from ..gold.rescore import post_finish_native
+            for k, i in enumerate(todo):
+                res = results[i]
+                if k in m3_row:   # M3 sub-batch outputs for this read
+                    u = m3_row[k]
+                    ch_k, n_k = chains_hU[u], n_hU[u]
+                    fb_k, ov_k = fb_hU[u], over_hU[u]
+                    na_k = nancU[u]
+                else:
+                    ch_k, n_k = chains_h[k], n_h[k]
+                    fb_k, ov_k = fb_h[k], over_h[k]
+                    na_k = nanc_final[k]
+                if (fallback[k] or ov_k or (n_k > 0 and fb_k)):
+                    g = self.gold
+                    g.state = self.state
+                    results[i] = g.classify_read(recs[i].name, recs[i].seq,
+                                                 recs[i].qual)
+                    self.n_fallback += 1
+                    continue
+                res.anchors = [None] * int(na_k)
+                chains = []
+                for ci in range(int(n_k)):
+                    row = ch_k[ci]
+                    chains.append(Chain(
+                        ref_id=int(row[dr.C_REF]), q_t_dis=0,
+                        sum_score=int(row[dr.C_SUM]),
+                        anchor_number=int(row[dr.C_ANUM]),
+                        direction=int(row[dr.C_DIR]), with_top_anchor=False,
+                        primary=0, pri_index=0, t_st=coord(row[dr.C_TST]),
+                        t_ed=coord(row[dr.C_TED]), q_st=coord(row[dr.C_QST]),
+                        q_ed=coord(row[dr.C_QED]), indel=int(row[dr.C_INDEL]),
+                        chain_id=ci, chain_anchor_cur=None))
+                res.chains = chains
+                rl = int(rl_arr[k])
+                if res.chains and post_finish_native(self.idx, res.chains,
+                                                     rl, self.state,
+                                                     self.opts):
+                    continue
+                if res.chains:
+                    post_rescore_finish(res.chains, rl, self.state, self.opts)
+                detect_primary(res.chains, rl)
+            return results
+
+        return _finish
 
     def classify_file(self, path):
         """Ordered read -> classify -> emit pipeline (the analogue of the
