@@ -37,6 +37,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...constants import L_PRE_IDX
 from .arrays import BLOCK
@@ -57,7 +58,7 @@ I32 = jnp.int32
 # denser indexes than the demo (p100 = 8 there).
 SA_CAP = 16
 
-BIG = jnp.int32(1 << 30)
+BIG = np.int32(1 << 30)  # plain numpy: no backend init at import time
 
 
 class WalkRefs(NamedTuple):
