@@ -36,7 +36,7 @@ from ..gold.chain import Chain
 from ..gold.rescore import detect_primary, post_rescore_finish
 from .arrays import DeviceIndex
 from .islands import bloom_hit_kernel, segment_islands
-from .ladder import fast_ladder, slow_ladder
+from .ladder import IV_HOT, fast_ladder, slow_ladder
 from .pipeline import pre13_values
 from . import chain as dc
 from . import rescore as dr
@@ -216,6 +216,10 @@ class DeviceClassifier:
     # longest island in the batch, and lengths are heavily skewed
     # (p50=5, max 61) — grouping by length cuts lockstep waste ~4x.
     _LEN_SPLITS = (7, 17, 1 << 30)
+    # ladder lockstep width: per-iteration cost is dominated by FIXED
+    # op overhead (not state size, now that anchors/mems/iv stay lean),
+    # so wider lanes = fewer iterations (tools/ladder_replay sweep)
+    _BL = 128
 
     def _run_ladder(self, kind, ls: LaneSet, codes_fr, buf_len, pre13):
         if ls.n == 0:
@@ -244,16 +248,35 @@ class DeviceClassifier:
         # dominated the ladder wall at 5 fetches x n_groups. The small
         # per-lane vectors are packed into a single (sum NB, 4) array on
         # device; anchor rows stay in HBM as before.
-        info_parts = []
-        for (out, NB) in outs:
-            _packed, base, acnt, skip, _povf = out
-            # povf is the .any() of the per-lane recompute below — not
-            # packed (and shaped per-device on a mesh)
-            info_parts.append(jnp.stack(
-                [base.astype(jnp.int32), acnt.astype(jnp.int32),
-                 skip.astype(jnp.int32)], axis=1))
-        info_h = np.asarray(jnp.concatenate(info_parts, axis=0)
-                            if len(info_parts) > 1 else info_parts[0])
+        info_h = self._fetch_ladder_info(outs)
+        # SP_SET hot-tier overflow (info col 3): re-dispatch those
+        # groups at full IV_CAP (cannot overflow) and use their results
+        # wholesale. Rare (big-repeat corpora), so the full-cap variant
+        # only ever compiles when first needed.
+        at = 0
+        redo = []
+        for gi, (g, (out, NB)) in enumerate(zip(groups, outs)):
+            if info_h[at : at + len(g), 3].any():
+                redo.append(gi)
+            at += NB
+        if redo:
+            info_h = np.array(info_h)  # device fetch can be read-only
+            for gi in redo:
+                outs[gi] = self._dispatch_ladder_group(
+                    kind, ls, groups[gi], codes_fr, buf_len, pre13,
+                    iv_cap=None)
+            redo_info = self._fetch_ladder_info([outs[gi] for gi in redo])
+            at = 0
+            starts = []
+            for (out, NB) in outs:
+                starts.append(at)
+                at += NB
+            r_at = 0
+            for gi in redo:
+                NB = outs[gi][1]
+                info_h[starts[gi] : starts[gi] + NB] = \
+                    redo_info[r_at : r_at + NB]
+                r_at += NB
         at = 0
         for g, (out, NB) in zip(groups, outs):
             info = info_h[at : at + NB]
@@ -276,8 +299,22 @@ class DeviceClassifier:
                       else jnp.concatenate(packed_all, axis=0))
         return [packed_dev, base_all, acnt_all, skip_all, bad_all]
 
+    def _fetch_ladder_info(self, outs):
+        """One packed host fetch of the per-lane scalars
+        [base, acnt, skip, iv_ovf] for a list of ladder outs."""
+        info_parts = []
+        for (out, NB) in outs:
+            _packed, base, acnt, skip, _povf, ivovf = out
+            # povf is the .any() of the per-lane recompute below — not
+            # packed (and shaped per-device on a mesh)
+            info_parts.append(jnp.stack(
+                [base.astype(jnp.int32), acnt.astype(jnp.int32),
+                 skip.astype(jnp.int32), ivovf.astype(jnp.int32)], axis=1))
+        return np.asarray(jnp.concatenate(info_parts, axis=0)
+                          if len(info_parts) > 1 else info_parts[0])
+
     def _dispatch_ladder_group(self, kind, ls: LaneSet, g, codes_fr,
-                               buf_len, pre13):
+                               buf_len, pre13, iv_cap=IV_HOT):
         N = len(g)
         NB = _bucket(N)
         cols = np.zeros((7, NB), np.int32)
@@ -294,7 +331,8 @@ class DeviceClassifier:
                      jnp.asarray(cols[2]), jnp.asarray(cols[3]),
                      jnp.asarray(cols[4]), jnp.asarray(cols[5]),
                      jnp.asarray(cols[6]), jnp.asarray(on))
-        return self._k_ladder(kind, codes_fr, buf_len, pre13, lane_args, NB), NB
+        return (self._k_ladder(kind, codes_fr, buf_len, pre13, lane_args,
+                               NB, iv_cap=iv_cap), NB)
 
     def _pack_cap_local(self, NB):
         # single device: the ladder pack spans the whole group
@@ -306,17 +344,18 @@ class DeviceClassifier:
                              self.dix.ekmer1, self.idx.len_e_kmer,
                              self.idx.single_base_max, self.dix.mask_bits)
 
-    def _k_ladder(self, kind, codes_fr, buf_len, pre13, lane_args, NB):
+    def _k_ladder(self, kind, codes_fr, buf_len, pre13, lane_args, NB,
+                  iv_cap=IV_HOT):
         dix = self.dix
         args = (self.ixr, dix.fm_blocks, dix.rank, dix.hash13, codes_fr,
                 buf_len, pre13, dix.q_mem, dix.q_lv, *lane_args)
-        bl = min(128, NB)  # measured optimum on the demo (tools/ladder_replay:
-        # 128~=256 beat N/4; 64 stalls the probe pipeline)
+        bl = min(self._BL, NB)
         if kind == "fast":
             return fast_ladder(*args, l_ek=self.idx.len_e_kmer, a_cap=A_CAP,
-                               pack_cap=2 * NB, bl=bl)
+                               pack_cap=2 * NB, bl=bl, iv_cap=iv_cap)
         return slow_ladder(*args, l_ek=self.idx.len_e_kmer, a_cap=A_CAP,
-                           m_cap=M_CAP, pack_cap=2 * NB, bl=bl)
+                           m_cap=M_CAP, pack_cap=2 * NB, bl=bl,
+                           iv_cap=iv_cap)
 
     def _globalize_base(self, base, NB):
         # single device: ladder pack offsets are already global

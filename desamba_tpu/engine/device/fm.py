@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...constants import L_PRE_IDX
+from . import textwalk
 from .arrays import BLOCK
 from .compaction import compact_rows
 from .textwalk import (
@@ -101,10 +102,11 @@ def _rank_from_blocks(fm_blocks, r, c):
     return base + jnp.sum(cnt, axis=1, dtype=U32)
 
 
-def spset_init(n):
+def spset_init(n, cap: int | None = None):
     """Fresh per-lane SP_SET state: (intervals, counts) — see
-    textwalk.ivset_init."""
-    return ivset_init(n)
+    textwalk.ivset_init. cap selects a hot tier (overflow -> sticky
+    cnt[:, 2] bit); None = full IV_CAP (never overflows)."""
+    return ivset_init(n, cap if cap is not None else textwalk.IV_CAP)
 
 
 def _interval_rank_chase(ixr, fm_blocks, rank6, codes, str_idx, sp0, ep0,

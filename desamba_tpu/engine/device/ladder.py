@@ -29,6 +29,12 @@ from .textwalk import pack2
 
 I32 = jnp.int32
 
+# SP_SET hot-tier size: interval counts per lane are tiny in practice
+# (~1 interval per row walk, p99 row_walks/read ~= 35 on the demo), so
+# the ladder carries a small interval buffer and re-runs the rare
+# overflowing group at full IV_CAP (512, can never overflow).
+IV_HOT = 32
+
 
 def pack_anchors(anchors, a_cnt, pack_cap: int):
     """Compact per-lane anchor buffers into one flat (pack_cap, A_NF+1)
@@ -72,15 +78,20 @@ def _scatter(full_tree, comp_tree, rows_s):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("l_ek", "a_cap", "pack_cap", "bl"))
+                   static_argnames=("l_ek", "a_cap", "pack_cap", "bl",
+                                    "iv_cap"))
 def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
                 pre13_fr, q_mem, q_lv, ridx, base, read_len, direction, sid,
                 seed_off, seed_len, lane_on, *, l_ek: int, a_cap: int,
-                pack_cap: int, bl: int | None = None):
+                pack_cap: int, bl: int | None = None,
+                iv_cap: int | None = None):
     """Run the full fast ladder for every lane; returns
-    (packed_anchors, a_base, a_cnt, skip_flag, pack_overflow) —
+    (packed_anchors, a_base, a_cnt, skip_flag, pack_overflow, iv_ovf) —
     skip_flag True where the island ended with max_score > 512 (drops
-    the NEXT island, applied on host).
+    the NEXT island, applied on host); iv_ovf True where the lane's
+    SP_SET hot tier overflowed (results unreliable: the classifier
+    re-dispatches such groups with iv_cap=None = full, which cannot
+    overflow).
 
     Each iteration compacts the still-active lanes to width bl before
     the probe + map_seed work (gather/scatter of per-lane state): the
@@ -96,7 +107,7 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
 
     anchors = jnp.zeros((N, a_cap, A_NF), I32)
     a_cnt = jnp.zeros((N,), I32)
-    spset, spcount = dev_fm.spset_init(N)
+    spset, spcount = dev_fm.spset_init(N, iv_cap)
     j = seed_len - 1
     active = lane_on & (j >= min_index)
     skip_flag = jnp.zeros((N,), bool)
@@ -107,9 +118,13 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
     def body(st):
         active, j, spset, spcount, anchors, a_cnt, skip_flag = st
         rg, rows_s, valid = compact_rows(active, bl)
-        full = (active, j, spset, spcount, anchors, a_cnt, skip_flag,
+        # `anchors` (N, a_cap, A_NF) stays in FULL lane space: map_seed
+        # writes rows directly via rows_s (drop-scatter). Compacting it
+        # through gather/scatter each iteration was the ladder's single
+        # largest cost (row gathers run ~10 ns/element on TPU).
+        full = (active, j, spset, spcount, a_cnt, skip_flag,
                 ridx, base, read_len, direction, sid, seed_off)
-        (act_c, j_c, sps_c, spc_c, an_c, ac_c, skip_c, ridx_c, base_c,
+        (act_c, j_c, sps_c, spc_c, ac_c, skip_c, ridx_c, base_c,
          rl_c, dir_c, sid_c, soff_c) = _compact(full, rg)
         act_c = act_c & valid
 
@@ -129,20 +144,20 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
         max_score = jnp.zeros((bl,), I32)
 
         def map_body(k, carry):
-            an_c, ac_c, max_score = carry
+            an_f, ac_c, max_score = carry
             dx = lambda a: jax.lax.dynamic_index_in_dim(a, k, 1, False)
             mk = act_c & dx(r_valid)
             q_off = str_idx - dx(r_len)
-            an_c, ac_c, ms = map_seed_lanes(
+            an_f, ac_c, ms = map_seed_lanes(
                 ixr, codes_pk, buf_len, q_mem, q_lv, ridx_c, base_c, rl_c,
                 dir_c, sid_c, dx(r_sp).astype(I32), dx(r_len),
                 dx(r_sa_ok), dx(r_sa).astype(I32), dx(r_sa_l), q_off,
-                mk, an_c, ac_c, a_cap=a_cap)
+                mk, an_f, ac_c, a_cap=a_cap, rows=rows_s)
             max_score = jnp.where(mk, jnp.maximum(max_score, ms), max_score)
-            return an_c, ac_c, max_score
+            return an_f, ac_c, max_score
 
-        an_c, ac_c, max_score = jax.lax.fori_loop(
-            0, MEM_SEARCH_FAST, map_body, (an_c, ac_c, max_score))
+        anchors, ac_c, max_score = jax.lax.fori_loop(
+            0, MEM_SEARCH_FAST, map_body, (anchors, ac_c, max_score))
 
         j2 = jnp.where(act_c,
                        jnp.where(has_mem,
@@ -153,27 +168,30 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
         skip_c = skip_c | (act_c & (max_score > 512))
         act2_c = act_c & ~brk & (j2 >= min_index)
 
-        mut_full = (active, j, spset, spcount, anchors, a_cnt, skip_flag)
-        mut_comp = (act2_c, j2, sps_c, spc_c, an_c, ac_c, skip_c)
-        return _scatter(mut_full, mut_comp, rows_s)
+        mut_full = (active, j, spset, spcount, a_cnt, skip_flag)
+        mut_comp = (act2_c, j2, sps_c, spc_c, ac_c, skip_c)
+        out = _scatter(mut_full, mut_comp, rows_s)
+        return out[:4] + (anchors,) + out[4:]
 
     st = (active, j, spset, spcount, anchors, a_cnt, skip_flag)
     st = jax.lax.while_loop(cond, body, st)
-    _, _, _, _, anchors, a_cnt, skip_flag = st
+    _, _, _, spcount, anchors, a_cnt, skip_flag = st
     packed, a_base, p_ovf = pack_anchors(anchors, a_cnt, pack_cap)
-    return packed, a_base, a_cnt, skip_flag, p_ovf
+    return packed, a_base, a_cnt, skip_flag, p_ovf, spcount[:, 2] > 0
 
 
 @functools.partial(jax.jit,
                    static_argnames=("l_ek", "a_cap", "m_cap", "pack_cap",
-                                    "bl"))
+                                    "bl", "iv_cap"))
 def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
                 pre13_fr, q_mem, q_lv, ridx, base, read_len, direction, sid,
                 seed_off, seed_len, lane_on, *, l_ek: int, a_cap: int,
-                m_cap: int, pack_cap: int, bl: int | None = None):
+                m_cap: int, pack_cap: int, bl: int | None = None,
+                iv_cap: int | None = None):
     """Slow-mode ladder: collect all MEMs (stride 2), sort by match_len
     desc, map the first 8. Returns
-    (packed_anchors, a_base, a_cnt, mem_overflow, pack_overflow).
+    (packed_anchors, a_base, a_cnt, mem_overflow, pack_overflow,
+    iv_ovf — see fast_ladder).
     Active lanes are compacted to width bl per iteration (see
     fast_ladder)."""
     N = ridx.shape[0]
@@ -184,7 +202,7 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
     min_match_len = min(MIN_MEM_LEN_SLOW - 1, l_ek + 1)
     codes_pk = pack2(codes_fr)
 
-    spset, spcount = dev_fm.spset_init(N)
+    spset, spcount = dev_fm.spset_init(N, iv_cap)
     mems = jnp.zeros((N, m_cap, M_NF), I32)
     m_cnt = jnp.zeros((N,), I32)
     j = seed_len - 1
@@ -196,9 +214,11 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
     def body(st):
         active, j, spset, spcount, mems, m_cnt = st
         rg, rows_s, valid = compact_rows(active, bl)
-        full = (active, j, spset, spcount, mems, m_cnt,
+        # `mems` (N, m_cap, M_NF) stays in FULL lane space (drop-scatter
+        # writes via rows_s) — see fast_ladder's anchors note.
+        full = (active, j, spset, spcount, m_cnt,
                 ridx, base, seed_off)
-        (act_c, j_c, sps_c, spc_c, mem_c, mc_c, ridx_c, base_c,
+        (act_c, j_c, sps_c, spc_c, mc_c, ridx_c, base_c,
          soff_c) = _compact(full, rg)
         act_c = act_c & valid
 
@@ -214,7 +234,7 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
         (r_len, r_sp, r_sa, r_sa_ok, r_sa_l, r_valid, sps_c, spc_c) = out
 
         def coll_body(k, carry):
-            mem_c, mc_c = carry
+            mem_f, mc_c = carry
             dx = lambda a: jax.lax.dynamic_index_in_dim(a, k, 1, False)
             take = act_c & dx(r_valid)
             rec = jnp.stack([
@@ -222,23 +242,24 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
                 dx(r_sa_ok).astype(I32), dx(r_sa_l), str_idx], axis=1)
             slot = jnp.minimum(mc_c, m_cap - 1)
             write = take & (mc_c < m_cap)
-            mem_c = mem_c.at[lanes_c, slot].set(
-                jnp.where(write[:, None], rec, mem_c[lanes_c, slot]))
+            wrow = jnp.where(write, rows_s, N)  # OOB row -> dropped
+            mem_f = mem_f.at[wrow, slot].set(rec, mode="drop")
             mc_c = jnp.where(take, mc_c + 1, mc_c)
-            return mem_c, mc_c
+            return mem_f, mc_c
 
-        mem_c, mc_c = jax.lax.fori_loop(0, MEM_SEARCH_SLOW, coll_body,
-                                        (mem_c, mc_c))
+        mems, mc_c = jax.lax.fori_loop(0, MEM_SEARCH_SLOW, coll_body,
+                                       (mems, mc_c))
         j2 = jnp.where(act_c, j_c - 2, j_c)
         act2_c = act_c & (j2 >= 1)
 
-        mut_full = (active, j, spset, spcount, mems, m_cnt)
-        mut_comp = (act2_c, j2, sps_c, spc_c, mem_c, mc_c)
-        return _scatter(mut_full, mut_comp, rows_s)
+        mut_full = (active, j, spset, spcount, m_cnt)
+        mut_comp = (act2_c, j2, sps_c, spc_c, mc_c)
+        out = _scatter(mut_full, mut_comp, rows_s)
+        return out[:4] + (mems,) + out[4:]
 
     st = (active, j, spset, spcount, mems, m_cnt)
     st = jax.lax.while_loop(cond, body, st)
-    _, _, _, _, mems, m_cnt = st
+    _, _, _, spcount, mems, m_cnt = st
     lanes = jnp.arange(N, dtype=I32)
     overflow = m_cnt > m_cap
 
@@ -267,4 +288,4 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
     anchors, a_cnt = jax.lax.fori_loop(0, MEM_SEARCH_SLOW, map_body,
                                        (anchors, a_cnt))
     packed, a_base, p_ovf = pack_anchors(anchors, a_cnt, pack_cap)
-    return packed, a_base, a_cnt, overflow, p_ovf
+    return packed, a_base, a_cnt, overflow, p_ovf, spcount[:, 2] > 0

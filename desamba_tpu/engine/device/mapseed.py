@@ -237,14 +237,21 @@ def get_new_ed(ix: IndexRefs, codes_pk, buf_len, ridx, base, q_off, t_off,
 def map_seed_lanes(ix: IndexRefs, codes_pk, buf_len, q_mem, q_lv,
                    ridx, base, read_len, direction, seed_id,
                    sp_row, l_m0, sa_ok, sa_row, sa_l, q_off, active,
-                   anchors, a_cnt, a_cap: int, occ_cap: int = 1000):
+                   anchors, a_cnt, a_cap: int, occ_cap: int = 1000,
+                   rows=None):
     """One map_seed per lane. Mutates (anchors, a_cnt); returns them plus
     per-lane max score (gold map_seed return value).
 
-    anchors: (N, a_cap, A_NF) int32; a_cnt: (N,) int32.
-    """
+    anchors: (M, a_cap, A_NF) int32; a_cnt: (N,) int32. When ``rows``
+    (N,) is given, lane i's anchors write to anchors[rows[i]] (M = full
+    lane count; out-of-range rows are dropped) — this lets the ladder
+    carry the big anchor buffer in FULL lane space and skip the
+    per-iteration compaction gather/scatter of it (~10 ns/element on
+    TPU, the dominant ladder cost). Without rows, M == N."""
     N = ridx.shape[0]
     lanes = jnp.arange(N, dtype=I32)
+    wlanes = lanes if rows is None else rows
+    a_rows = anchors.shape[0]
     l_m = l_m0.astype(I32)
 
     # ---- step 1: prefix ---------------------------------------------------
@@ -428,8 +435,8 @@ def map_seed_lanes(ix: IndexRefs, codes_pk, buf_len, q_mem, q_lv,
         ], axis=1)
         slot = jnp.minimum(a_cnt_c, a_cap - 1)
         write = emit & (a_cnt_c < a_cap)
-        anchors_c = anchors_c.at[lanes, slot].set(
-            jnp.where(write[:, None], rec, anchors_c[lanes, slot]))
+        wrow = jnp.where(write, wlanes, a_rows)  # OOB row -> dropped
+        anchors_c = anchors_c.at[wrow, slot].set(rec, mode="drop")
         a_cnt_c = jnp.where(emit, a_cnt_c + 1, a_cnt_c)  # counts overflow too
         ci2 = ci + 1
         run2 = run & (ci2 < rl_e)

@@ -238,9 +238,15 @@ def find_bit_high(bits, lo, hi, active):
 IV_CAP = 512
 
 
-def ivset_init(n):
-    iv = jnp.zeros((n, IV_CAP, 2), I32).at[:, :, 1].set(-1)
-    return iv, jnp.zeros((n, 2), I32)
+def ivset_init(n, cap: int = IV_CAP):
+    """cnt rows are [intervals used, total positions, overflowed].
+
+    cap < IV_CAP is a HOT TIER: interval inserts past cap set the
+    sticky overflow bit instead of storing (the ladder re-runs such
+    lanes at full cap — see fast_ladder iv_cap). cap = IV_CAP can never
+    overflow (intervals <= positions <= SP_SET_CAP < IV_CAP)."""
+    iv = jnp.zeros((n, cap, 2), I32).at[:, :, 1].set(-1)
+    return iv, jnp.zeros((n, 3), I32)
 
 
 def _covered_point(iv, p):
@@ -267,8 +273,9 @@ def ivset_walk(iv, cnt, p, nat, do):
       wlen  — successful walk steps (positions p-1..p-wlen inserted)
     """
     N = p.shape[0]
+    cap = iv.shape[1]
     lanes = jnp.arange(N)
-    niv, size = cnt[:, 0], cnt[:, 1]
+    niv, size, ovf = cnt[:, 0], cnt[:, 1], cnt[:, 2]
 
     reset0 = do & (size == SP_SET_CAP)
     iv = jnp.where(reset0[:, None, None],
@@ -293,11 +300,15 @@ def ivset_walk(iv, cnt, p, nat, do):
                    iv)
     new_lo = jnp.where(midreset, p - nat, p - wlen)
     new_hi = jnp.where(midreset, p - j_r, p)
-    slot = jnp.where(midreset, 0, jnp.minimum(niv, IV_CAP - 1))
+    slot = jnp.where(midreset, 0, jnp.minimum(niv, cap - 1))
     rec = jnp.stack([new_lo, new_hi], axis=1)
     iv = iv.at[lanes, slot].set(
         jnp.where(walk[:, None], rec, iv[lanes, slot]))
+    # hot-tier overflow: an append past cap loses the interval (sticky
+    # bit; the lane's further dedup answers are unreliable until re-run
+    # at full cap)
+    ovf = ovf | (walk & ~midreset & (niv >= cap)).astype(I32)
     niv = jnp.where(walk, jnp.where(midreset, 1, niv + 1), niv)
     size = jnp.where(walk,
                      jnp.where(midreset, nat - j_r + 1, s1 + wlen), size)
-    return iv, jnp.stack([niv, size], axis=1), dup0, dup_real, wlen
+    return iv, jnp.stack([niv, size, ovf], axis=1), dup0, dup_real, wlen

@@ -45,7 +45,7 @@ from ..engine.device import chain as dc
 from ..engine.device import rescore as drr
 from ..engine.device.classifier import A_CAP, M_CAP, DeviceClassifier
 from ..engine.device.islands import ekmer_probe_indices
-from ..engine.device.ladder import fast_ladder, slow_ladder
+from ..engine.device.ladder import IV_HOT, fast_ladder, slow_ladder
 from .mesh import make_mesh, shard_index
 
 
@@ -140,20 +140,21 @@ class MeshClassifier(DeviceClassifier):
         return self._cache[key](self.placed["ekmer0"], self.placed["ekmer1"],
                                 strands, lens)
 
-    def _k_ladder(self, kind, codes_fr, buf_len, pre13, lane_args, NB):
+    def _k_ladder(self, kind, codes_fr, buf_len, pre13, lane_args, NB,
+                  iv_cap=IV_HOT):
         l_ek = self.idx.len_e_kmer
         bl = min(128, NB // self.n_dp)
         pack_local = 2 * NB // self.n_dp
-        key = ("ladder", kind, NB, codes_fr.shape)
+        key = ("ladder", kind, NB, codes_fr.shape, iv_cap)
         if key not in self._cache:
             if kind == "fast":
                 fn = functools.partial(
                     fast_ladder.__wrapped__, l_ek=l_ek, a_cap=A_CAP,
-                    pack_cap=pack_local, bl=bl)
+                    pack_cap=pack_local, bl=bl, iv_cap=iv_cap)
             else:
                 fn = functools.partial(
                     slow_ladder.__wrapped__, l_ek=l_ek, a_cap=A_CAP,
-                    m_cap=M_CAP, pack_cap=pack_local, bl=bl)
+                    m_cap=M_CAP, pack_cap=pack_local, bl=bl, iv_cap=iv_cap)
 
             if self.shard_full:
                 def step(sh_tup, ref_off, fm_flat, rank6, h13_flat,
@@ -165,8 +166,8 @@ class MeshClassifier(DeviceClassifier):
                     h13 = sh.wrap_local(h13_flat, self._sh_h13_shape)
                     out = fn(ixr, fm, rank6, h13, codes, blen, pre,
                              q_mem, q_lv, *lanes)
-                    packed, base, acnt, flag, povf = out
-                    return packed, base, acnt, flag, povf.reshape(1)
+                    packed, base, acnt, flag, povf, ivovf = out
+                    return packed, base, acnt, flag, povf.reshape(1), ivovf
 
                 n_sh = len(self._sh_fields)
                 self._cache[key] = jax.jit(shard_map(
@@ -174,14 +175,14 @@ class MeshClassifier(DeviceClassifier):
                     in_specs=((P("idx"),) * n_sh, P(), P("idx"), P(),
                               P("idx"), P(), P(), P(), P(), P())
                     + (P("dp"),) * 8,
-                    out_specs=(P("dp"),) * 5, check_rep=False))
+                    out_specs=(P("dp"),) * 6, check_rep=False))
             else:
                 def step(ixr, fm_blocks, rank6, hash13, codes, blen, pre,
                          q_mem, q_lv, *lanes):
                     out = fn(ixr, fm_blocks, rank6, hash13, codes, blen,
                              pre, q_mem, q_lv, *lanes)
-                    packed, base, acnt, flag, povf = out
-                    return packed, base, acnt, flag, povf.reshape(1)
+                    packed, base, acnt, flag, povf, ivovf = out
+                    return packed, base, acnt, flag, povf.reshape(1), ivovf
 
                 # reads are replicated for the ladders (lanes of one read
                 # may land on any shard); lane arrays split over dp
@@ -189,7 +190,7 @@ class MeshClassifier(DeviceClassifier):
                     step, mesh=self.mesh,
                     in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P())
                     + (P("dp"),) * 8,
-                    out_specs=(P("dp"),) * 5, check_rep=False))
+                    out_specs=(P("dp"),) * 6, check_rep=False))
         dix = self.dix
         if self.shard_full:
             return self._cache[key](self._sh_ixr, self.ixr.ref_off,

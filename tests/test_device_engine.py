@@ -219,6 +219,44 @@ def test_device_classifier_end_to_end(device_setup):
     assert got == exp
 
 
+def test_ladder_iv_hot_tier_overflow_redispatch(demo_my_index, demo_files):
+    """iv_cap=1 forces SP_SET hot-tier overflow on every multi-walk
+    lane; the classifier must re-dispatch those groups at full IV_CAP
+    and stay bit-equal (ladder.IV_HOT safety net). Demo reads: the
+    small synthetic genome has no repeats, so no lane ever inserts two
+    walks there."""
+    from desamba_tpu.engine.device.classifier import DeviceClassifier
+    from desamba_tpu.engine.gold.classify import Options
+    from desamba_tpu.io.fastx import read_fastx
+    from desamba_tpu.io.sam import format_result
+
+    idx = demo_my_index
+    recs = list(read_fastx(demo_files[1]))[:120]
+    opts = Options()
+    ref_eng = DeviceClassifier(idx, Options())
+    exp = [format_result(r, idx.ref_name, opts)
+           for r in ref_eng.classify_reads(recs)]
+
+    orig = DeviceClassifier._dispatch_ladder_group
+    n_redo = [0]
+
+    def tiny_cap(self, kind, ls, g, codes_fr, buf_len, pre13, iv_cap=1):
+        if iv_cap is None:
+            n_redo[0] += 1
+        return orig(self, kind, ls, g, codes_fr, buf_len, pre13,
+                    iv_cap=iv_cap)
+
+    DeviceClassifier._dispatch_ladder_group = tiny_cap
+    try:
+        eng = DeviceClassifier(idx, Options())
+        got = [format_result(r, idx.ref_name, opts)
+               for r in eng.classify_reads(recs)]
+    finally:
+        DeviceClassifier._dispatch_ladder_group = orig
+    assert n_redo[0] > 0, "hot cap 1 should have overflowed"
+    assert got == exp
+
+
 def test_mem_probe_parity(device_setup):
     """Batched MEM probes == gold bwt_mem_search incl. SP_SET dedup
     (default path: position-space interval resolution)."""
