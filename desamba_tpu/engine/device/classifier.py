@@ -493,21 +493,28 @@ class DeviceClassifier:
             for b in batches:
                 yield from self._classify_batch(b)
             return
+        # DEPTH device phases in flight: their relay round-trip waits
+        # overlap each other (threads), while the chip serializes the
+        # actual executions — latency hiding, not compute overlap.
+        DEPTH = 3
         with ThreadPoolExecutor(max_workers=1) as prep_ex, \
-                ThreadPoolExecutor(max_workers=2) as dev_ex:
-            prep_fut = prep_ex.submit(self._prep_batch, batches[0])
-            dev_futs = [dev_ex.submit(self._device_phase, batches[0],
-                                      prep_fut.result())]
-            if len(batches) > 1:
-                prep_fut = prep_ex.submit(self._prep_batch, batches[1])
+                ThreadPoolExecutor(max_workers=DEPTH) as dev_ex:
+            prep_futs = [prep_ex.submit(self._prep_batch, b)
+                         for b in batches[: DEPTH + 1]]
+            dev_futs = []
+            for k in range(min(DEPTH, len(batches))):
+                dev_futs.append(dev_ex.submit(self._device_phase,
+                                              batches[k],
+                                              prep_futs[k].result()))
             for bi in range(len(batches)):
-                if bi + 1 < len(batches):
+                nxt = bi + DEPTH
+                if nxt < len(batches):
                     dev_futs.append(dev_ex.submit(
-                        self._device_phase, batches[bi + 1],
-                        prep_fut.result()))
-                    if bi + 2 < len(batches):
-                        prep_fut = prep_ex.submit(self._prep_batch,
-                                                  batches[bi + 2])
+                        self._device_phase, batches[nxt],
+                        prep_futs[nxt].result()))
+                    if nxt + 1 < len(batches):
+                        prep_futs.append(prep_ex.submit(
+                            self._prep_batch, batches[nxt + 1]))
                 finish = dev_futs.pop(0).result()
                 yield from finish()
 
@@ -524,12 +531,16 @@ class DeviceClassifier:
         l_ek = idx.len_e_kmer
         results = [ReadResult(r.name, r.seq, r.qual, len(r.seq))
                    for r in recs]
-        self.n_classified += len(recs)
         if prep is None:
             prep = self._prep_batch(recs)
         todo, (bufs, seeds, s_off, s_cnt, s_tot) = prep
         if not todo:
-            return lambda: results
+            def _finish_empty():
+                # counters update in the (serial) finish, not the
+                # concurrent device phases
+                self.n_classified += len(recs)
+                return results
+            return _finish_empty
         B = len(todo)
         rl_arr = np.array([len(recs[i].seq) for i in todo], np.int32)
 
@@ -854,6 +865,8 @@ class DeviceClassifier:
         # main thread so StreamState updates stay serialized when
         # device phases of later batches run concurrently) ----
         def _finish():
+            self.n_classified += len(recs)
+
             def coord(v):
                 # kernel coordinates are uint32 bit patterns in int32; gold's
                 # finish code works in the masked-u32 domain
