@@ -128,11 +128,21 @@ class DeviceClassifier:
         per strand; strand 2i = forward, 2i+1 = reverse of read i."""
         idx = self.idx
         l_ek = idx.len_e_kmer
-        bufs = []
-        for seq in seqs:
-            bin_f = CLY_BIT[np.frombuffer(seq.encode(), np.uint8)]
-            bufs.append(np.concatenate([bin_f, (3 - bin_f)[::-1]]))
         B = len(seqs)
+        if B and native.available():
+            # one C call encodes every read's F+R codes (fastx.c lays the
+            # reverse complement contiguously after the forward strand,
+            # exactly the bufs[i] layout) — the per-read python encode
+            # loop was a prep-thread hot spot
+            lens_np = np.array([len(s) for s in seqs], np.int64)
+            mat = native.encode_batch("".join(seqs).encode(), lens_np,
+                                      int(lens_np.max()))
+            bufs = [mat[i, : 2 * lens_np[i]] for i in range(B)]
+        else:
+            bufs = []
+            for seq in seqs:
+                bin_f = CLY_BIT[np.frombuffer(seq.encode(), np.uint8)]
+                bufs.append(np.concatenate([bin_f, (3 - bin_f)[::-1]]))
         if not B:
             z = np.zeros(0, np.int64)
             return bufs, np.zeros((0, 3), np.int32), z, z, z
@@ -496,8 +506,9 @@ class DeviceClassifier:
         # DEPTH device phases in flight: their relay round-trip waits
         # overlap each other (threads), while the chip serializes the
         # actual executions — latency hiding, not compute overlap.
-        DEPTH = 3
-        with ThreadPoolExecutor(max_workers=1) as prep_ex, \
+        DEPTH = int(os.environ.get("DESAMBA_PIPE_DEPTH", "3"))
+        PREP_W = int(os.environ.get("DESAMBA_PREP_WORKERS", "2"))
+        with ThreadPoolExecutor(max_workers=PREP_W) as prep_ex, \
                 ThreadPoolExecutor(max_workers=DEPTH) as dev_ex:
             prep_futs = [prep_ex.submit(self._prep_batch, b)
                          for b in batches[: DEPTH + 1]]

@@ -314,8 +314,8 @@ def mem_probe(ixr, fm_blocks, rank6, hash13, codes, codes_pk, str_idx,
     res_valid = jnp.zeros((N, R), bool)
     wmax = jnp.maximum(0, str_idx - match_len)
 
-    def row_body(k, carry):
-        (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
+    def row_body(carry):
+        (k, res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
          iv, cnt) = carry
         do = ok & (k < n_rows)
         # walk-start position: survivor list (sa path) or the rank-chase
@@ -345,9 +345,15 @@ def mem_probe(ixr, fm_blocks, rank6, hash13, codes, codes_pk, str_idx,
         res_sa_ok = res_sa_ok.at[:, k].set(do_walk & found)
         res_sa_l = res_sa_l.at[:, k].set(jnp.where(do_walk, sa_l, 0))
         res_valid = res_valid.at[:, k].set(valid)
-        return (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
-                iv, cnt)
+        return (k + 1, res_len, res_sp, res_sa, res_sa_ok, res_sa_l,
+                res_valid, iv, cnt)
 
-    carry = (res_len, res_sp, res_sa, res_sa_ok, res_sa_l, res_valid,
-             spset, spcount)
-    return jax.lax.fori_loop(0, R, row_body, carry)
+    # only walk row slots some lane actually has: rows-per-probe is
+    # p90 = 1 on real corpora, so a fixed R(=max_rst)-iteration loop
+    # would pay the (find_bit_high x2 + LCE + isa) walk machinery ~Rx
+    # per probe for nothing
+    kmax = jnp.max(jnp.where(ok, n_rows, 0))
+    carry = (jnp.int32(0), res_len, res_sp, res_sa, res_sa_ok, res_sa_l,
+             res_valid, spset, spcount)
+    out = jax.lax.while_loop(lambda c: c[0] < kmax, row_body, carry)
+    return out[1:]

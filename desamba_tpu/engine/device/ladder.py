@@ -143,8 +143,8 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
 
         max_score = jnp.zeros((bl,), I32)
 
-        def map_body(k, carry):
-            an_f, ac_c, max_score = carry
+        def map_body(carry):
+            k, an_f, ac_c, max_score = carry
             dx = lambda a: jax.lax.dynamic_index_in_dim(a, k, 1, False)
             mk = act_c & dx(r_valid)
             q_off = str_idx - dx(r_len)
@@ -154,10 +154,17 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
                 dx(r_sa_ok), dx(r_sa).astype(I32), dx(r_sa_l), q_off,
                 mk, an_f, ac_c, a_cap=a_cap, rows=rows_s)
             max_score = jnp.where(mk, jnp.maximum(max_score, ms), max_score)
-            return an_f, ac_c, max_score
+            return k + 1, an_f, ac_c, max_score
 
-        anchors, ac_c, max_score = jax.lax.fori_loop(
-            0, MEM_SEARCH_FAST, map_body, (anchors, ac_c, max_score))
+        # map only the row slots some lane has a valid MEM in (p90 = 1
+        # valid row per probe): one map_seed_lanes sweep per occupied
+        # slot instead of a fixed MEM_SEARCH_FAST of them
+        occ = act_c[:, None] & r_valid
+        kmap = jnp.max(jnp.where(occ, jnp.arange(r_valid.shape[1],
+                                                 dtype=I32)[None, :] + 1, 0))
+        _, anchors, ac_c, max_score = jax.lax.while_loop(
+            lambda c: c[0] < kmap, map_body,
+            (jnp.int32(0), anchors, ac_c, max_score))
 
         j2 = jnp.where(act_c,
                        jnp.where(has_mem,
@@ -233,8 +240,8 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
             MEM_SEARCH_SLOW, min_match_len, col_off=base_c, row_idx=ridx_c)
         (r_len, r_sp, r_sa, r_sa_ok, r_sa_l, r_valid, sps_c, spc_c) = out
 
-        def coll_body(k, carry):
-            mem_f, mc_c = carry
+        def coll_body(carry):
+            k, mem_f, mc_c = carry
             dx = lambda a: jax.lax.dynamic_index_in_dim(a, k, 1, False)
             take = act_c & dx(r_valid)
             rec = jnp.stack([
@@ -245,10 +252,13 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
             wrow = jnp.where(write, rows_s, N)  # OOB row -> dropped
             mem_f = mem_f.at[wrow, slot].set(rec, mode="drop")
             mc_c = jnp.where(take, mc_c + 1, mc_c)
-            return mem_f, mc_c
+            return k + 1, mem_f, mc_c
 
-        mems, mc_c = jax.lax.fori_loop(0, MEM_SEARCH_SLOW, coll_body,
-                                       (mems, mc_c))
+        occ = act_c[:, None] & r_valid
+        kmax = jnp.max(jnp.where(occ, jnp.arange(r_valid.shape[1],
+                                                 dtype=I32)[None, :] + 1, 0))
+        _, mems, mc_c = jax.lax.while_loop(
+            lambda c: c[0] < kmax, coll_body, (jnp.int32(0), mems, mc_c))
         j2 = jnp.where(act_c, j_c - 2, j_c)
         act2_c = act_c & (j2 >= 1)
 
@@ -272,8 +282,8 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
     anchors = jnp.zeros((N, a_cap, A_NF), I32)
     a_cnt = jnp.zeros((N,), I32)
 
-    def map_body(k, carry):
-        anchors, a_cnt = carry
+    def map_body(carry):
+        k, anchors, a_cnt = carry
         sel = jax.lax.dynamic_index_in_dim(order, k, 1, False)
         rec = mems[lanes, jnp.minimum(sel, m_cap - 1)]
         ok = lane_on & (k < stored)
@@ -283,9 +293,13 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
             ixr, codes_pk, buf_len, q_mem, q_lv, ridx, base, read_len,
             direction, sid, rec[:, 1], rec[:, 0], rec[:, 3].astype(bool),
             rec[:, 2], rec[:, 4], q_off, ok, anchors, a_cnt, a_cap=a_cap)
-        return anchors, a_cnt
+        return k + 1, anchors, a_cnt
 
-    anchors, a_cnt = jax.lax.fori_loop(0, MEM_SEARCH_SLOW, map_body,
-                                       (anchors, a_cnt))
+    # the reference maps the first MEM_SEARCH_SLOW sorted MEMs; stop at
+    # the deepest any lane actually stores
+    kmap = jnp.minimum(jnp.max(jnp.where(lane_on, stored, 0)),
+                       MEM_SEARCH_SLOW)
+    _, anchors, a_cnt = jax.lax.while_loop(
+        lambda c: c[0] < kmap, map_body, (jnp.int32(0), anchors, a_cnt))
     packed, a_base, p_ovf = pack_anchors(anchors, a_cnt, pack_cap)
     return packed, a_base, a_cnt, overflow, p_ovf, spcount[:, 2] > 0
