@@ -176,8 +176,10 @@ def chain_step(packed, gidx, n_anc):
     insertion order (-1 pad, built on host from the small base/cnt/skip
     downloads); n_anc: (B,).
 
-    Returns (chains, n_out, pre, ovf, anc3) — anc3 (B, A2, 3) keeps
-    [index_in_read, ref_offset, mtch_len] for the rescore prep."""
+    Returns (chains, n_out, pre, ovf, anc3, info) — anc3 (B, A2, 3)
+    keeps [index_in_read, ref_offset, mtch_len] for the rescore prep;
+    info (B, 4) = [n, dec0, dec1, ovf] packed in-jit so the host's
+    fetch needs no extra device ops."""
     P = packed.shape[0]
     ext = jnp.concatenate([packed, jnp.zeros((1, packed.shape[1]), I32)], 0)
     gi = jnp.where(gidx >= 0, gidx, P)
@@ -188,7 +190,12 @@ def chain_step(packed, gidx, n_anc):
                      rows[:, :, P_USELESS]], axis=2)
     chains, n_out, pre, ovf = chain_kernel(anc, n_anc)
     anc3 = anc[:, :, :3]
-    return chains, n_out, pre, ovf, anc3
+    return chains, n_out, pre, ovf, anc3, _chain_info(chains, n_out, ovf)
+
+
+def _chain_info(chains, n_out, ovf):
+    return jnp.stack([n_out, chains[:, 0, H_ANUM], chains[:, 0, H_SUM],
+                      ovf.astype(I32)], axis=1)
 
 
 RC_CAP = 8    # rescore chain slots (engine/device/rescore.C_CAP)
@@ -426,4 +433,5 @@ def m3_chain_step(packed, gidx, n_anc):
                      rows[:, :, P_REF], rows[:, :, P_DIR],
                      rows[:, :, P_USELESS]], axis=2)
     chains, n_out, pre, ovf = m3_kernel(anc, n_anc)
-    return chains, n_out, pre, ovf, anc[:, :, :3]
+    return (chains, n_out, pre, ovf, anc[:, :, :3],
+            _chain_info(chains, n_out, ovf))

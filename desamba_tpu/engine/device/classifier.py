@@ -75,11 +75,14 @@ def _enable_compile_cache():
 @functools.partial(
     jax.jit, static_argnames=("l_ek", "single_base_max", "mask_bits"))
 def _bloom_packed(strands, lens, ek0, ek1, l_ek, single_base_max, mask_bits):
+    """Returns the packed hit bits FLATTENED (row-major (Bpad, Wb)):
+    the flatten lives inside the jit so the host's cross-bucket concat
+    is the only extra device op before its one fetch."""
     hit = bloom_hit_kernel.__wrapped__(strands, lens, ek0, ek1, l_ek,
                                        single_base_max, mask_bits)
     pad = (-hit.shape[1]) % 8
     hitp = jnp.pad(hit, ((0, 0), (0, pad)))
-    return jnp.packbits(hitp, axis=1)
+    return jnp.packbits(hitp, axis=1).reshape(-1)
 
 
 class LaneSet:
@@ -175,16 +178,18 @@ class DeviceClassifier:
             # bit-pack on device (tunnel downloads ~10 MB/s); dispatch
             # every bucket before draining any — async dispatch overlaps
             # the buckets' device compute and downloads
+            Wb = (Lc - l_ek + 1 + 7) // 8
             pending.append((grp, self._k_bloom(jnp.asarray(strands),
-                                               jnp.asarray(lens))))
+                                               jnp.asarray(lens)),
+                            Bpad, Wb))
         # ONE host fetch for all buckets (every fetch is a ~35-100 ms
-        # relay round trip): flatten each bucket's packed bits and
-        # download the concatenation once
-        flat = jnp.concatenate([pd.reshape(-1) for _, pd in pending])
+        # relay round trip); the per-bucket flatten happens inside the
+        # bloom jit
+        flat = (pending[0][1] if len(pending) == 1 else
+                jnp.concatenate([pd for _, pd, _, _ in pending]))
         flat_h = np.asarray(flat)
         at = 0
-        for grp, packed_dev in pending:
-            Bpad, Wb = packed_dev.shape
+        for grp, _pd, Bpad, Wb in pending:
             got = np.unpackbits(
                 flat_h[at : at + Bpad * Wb].reshape(Bpad, Wb),
                 axis=1).astype(bool)
@@ -311,15 +316,11 @@ class DeviceClassifier:
 
     def _fetch_ladder_info(self, outs):
         """One packed host fetch of the per-lane scalars
-        [base, acnt, skip, iv_ovf] for a list of ladder outs."""
-        info_parts = []
-        for (out, NB) in outs:
-            _packed, base, acnt, skip, _povf, ivovf = out
-            # povf is the .any() of the per-lane recompute below — not
-            # packed (and shaped per-device on a mesh)
-            info_parts.append(jnp.stack(
-                [base.astype(jnp.int32), acnt.astype(jnp.int32),
-                 skip.astype(jnp.int32), ivovf.astype(jnp.int32)], axis=1))
+        [base, acnt, skip/flag, iv_ovf] for a list of ladder outs. The
+        (N, 4) info rows are built inside the ladder jit (pack_info);
+        here only one concat + one fetch hit the relay. The pack
+        overflow scalar is recomputed per lane below, not fetched."""
+        info_parts = [out[1] for (out, NB) in outs]
         return np.asarray(jnp.concatenate(info_parts, axis=0)
                           if len(info_parts) > 1 else info_parts[0])
 
@@ -327,7 +328,9 @@ class DeviceClassifier:
                                buf_len, pre13, iv_cap=IV_HOT):
         N = len(g)
         NB = _bucket(N)
-        cols = np.zeros((7, NB), np.int32)
+        # ONE (8, NB) upload per group: each host->device asarray is its
+        # own relay message, and 8 x n_groups of them dominated dispatch
+        cols = np.zeros((8, NB), np.int32)
         cols[0, :N] = ls.ridx[g]
         cols[1, :N] = ls.base[g]
         cols[2, :N] = ls.rl[g]
@@ -335,14 +338,9 @@ class DeviceClassifier:
         cols[4, :N] = ls.sid[g]
         cols[5, :N] = ls.soff[g]
         cols[6, :N] = ls.slen[g]
-        on = np.zeros((NB,), bool)
-        on[:N] = True
-        lane_args = (jnp.asarray(cols[0]), jnp.asarray(cols[1]),
-                     jnp.asarray(cols[2]), jnp.asarray(cols[3]),
-                     jnp.asarray(cols[4]), jnp.asarray(cols[5]),
-                     jnp.asarray(cols[6]), jnp.asarray(on))
-        return (self._k_ladder(kind, codes_fr, buf_len, pre13, lane_args,
-                               NB, iv_cap=iv_cap), NB)
+        cols[7, :N] = 1  # lane_on
+        return (self._k_ladder(kind, codes_fr, buf_len, pre13,
+                               jnp.asarray(cols), NB, iv_cap=iv_cap), NB)
 
     def _pack_cap_local(self, NB):
         # single device: the ladder pack spans the whole group
@@ -358,7 +356,7 @@ class DeviceClassifier:
                   iv_cap=IV_HOT):
         dix = self.dix
         args = (self.ixr, dix.fm_blocks, dix.rank, dix.hash13, codes_fr,
-                buf_len, pre13, dix.q_mem, dix.q_lv, *lane_args)
+                buf_len, pre13, dix.q_mem, dix.q_lv, lane_args)
         bl = min(self._BL, NB)
         if kind == "fast":
             return fast_ladder(*args, l_ek=self.idx.len_e_kmer, a_cap=A_CAP,
@@ -636,16 +634,14 @@ class DeviceClassifier:
                     np.zeros((B_pad, 2), np.int32), \
                     np.zeros((B_pad,), bool)
             out = self._k_chain(packed, gidx, nanc)
-            ch, n, pre, ovf, anc3 = out
-            # ONE packed fetch (n, dec0, dec1, ovf) per stage: separate
-            # np.asarray calls each cost a full relay round trip
-            info = np.array(jnp.stack(
-                [n, ch[:, 0, dc.H_ANUM], ch[:, 0, dc.H_SUM],
-                 ovf.astype(jnp.int32)], axis=1))
+            # ONE packed fetch (n, dec0, dec1, ovf) per stage, built
+            # inside the chain jit: separate np.asarray calls (and even
+            # a host-side jnp.stack) each cost a relay round trip
+            info = np.array(out[5])
             n_h = info[:, 0]
             dec = info[:, 1:3]      # writable: the M3 stage scatters in
             ovf_h = info[:, 3].astype(bool)
-            return out, n_h, dec, ovf_h
+            return out[:5], n_h, dec, ovf_h
 
         m3_sets = [None, None, None]   # per chain stage
 
@@ -668,11 +664,9 @@ class DeviceClassifier:
             gpad[: len(rows)] = gw
             npad = np.zeros((Bm,), np.int32)
             npad[: len(rows)] = nw
-            chm, nm, prem, ovfm, anc3m = self._k_chain_m3(packed, gpad,
-                                                          npad)
-            infom = np.asarray(jnp.stack(
-                [nm, chm[:, 0, dc.H_ANUM], chm[:, 0, dc.H_SUM],
-                 ovfm.astype(jnp.int32)], axis=1))
+            chm, nm, prem, ovfm, anc3m, im = self._k_chain_m3(packed, gpad,
+                                                             npad)
+            infom = np.asarray(im)
             nm_h = infom[:, 0]
             ovfm_h = infom[:, 3].astype(bool)
             decm = infom[:, 1:3]

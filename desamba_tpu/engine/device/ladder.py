@@ -77,27 +77,46 @@ def _scatter(full_tree, comp_tree, rows_s):
                         full_tree, comp_tree)
 
 
+def _unpack_lanes(lane_args):
+    """lane_args: either the legacy 8-tuple of (N,) arrays or ONE
+    (8, N) int32 array (single upload — every host->device asarray is
+    its own relay round trip). Returns the 8 per-lane vectors."""
+    if not isinstance(lane_args, (tuple, list)):
+        c = lane_args
+        return (c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7] != 0)
+    return lane_args
+
+
+def pack_info(base, acnt, skip, ivovf):
+    """(N, 4) int32 host-fetch row [base, acnt, skip, iv_ovf] — built
+    INSIDE the kernel jit so the host needs zero extra device ops
+    before its one packed fetch."""
+    return jnp.stack([base.astype(I32), acnt.astype(I32),
+                      skip.astype(I32), ivovf.astype(I32)], axis=1)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("l_ek", "a_cap", "pack_cap", "bl",
                                     "iv_cap"))
 def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
-                pre13_fr, q_mem, q_lv, ridx, base, read_len, direction, sid,
-                seed_off, seed_len, lane_on, *, l_ek: int, a_cap: int,
+                pre13_fr, q_mem, q_lv, lane_args, *, l_ek: int, a_cap: int,
                 pack_cap: int, bl: int | None = None,
                 iv_cap: int | None = None):
     """Run the full fast ladder for every lane; returns
-    (packed_anchors, a_base, a_cnt, skip_flag, pack_overflow, iv_ovf) —
-    skip_flag True where the island ended with max_score > 512 (drops
-    the NEXT island, applied on host); iv_ovf True where the lane's
-    SP_SET hot tier overflowed (results unreliable: the classifier
-    re-dispatches such groups with iv_cap=None = full, which cannot
-    overflow).
+    (packed_anchors, info, pack_overflow) with info (N, 4) int32 =
+    [a_base, a_cnt, skip_flag, iv_ovf] (pack_info) — skip_flag True
+    where the island ended with max_score > 512 (drops the NEXT island,
+    applied on host); iv_ovf True where the lane's SP_SET hot tier
+    overflowed (results unreliable: the classifier re-dispatches such
+    groups with iv_cap=None = full, which cannot overflow).
 
     Each iteration compacts the still-active lanes to width bl before
     the probe + map_seed work (gather/scatter of per-lane state): the
     ladder's stride/break schedule makes occupancy decay fast, and the
     probe cost is per-lane gathers, so the lockstep width is the lever.
     Lanes beyond bl capacity run on later iterations."""
+    (ridx, base, read_len, direction, sid, seed_off, seed_len,
+     lane_on) = _unpack_lanes(lane_args)
     N = ridx.shape[0]
     if bl is None:
         bl = max(64, N // 4)
@@ -184,23 +203,26 @@ def fast_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
     st = jax.lax.while_loop(cond, body, st)
     _, _, _, spcount, anchors, a_cnt, skip_flag = st
     packed, a_base, p_ovf = pack_anchors(anchors, a_cnt, pack_cap)
-    return packed, a_base, a_cnt, skip_flag, p_ovf, spcount[:, 2] > 0
+    return (packed,
+            pack_info(a_base, a_cnt, skip_flag, spcount[:, 2] > 0),
+            p_ovf)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("l_ek", "a_cap", "m_cap", "pack_cap",
                                     "bl", "iv_cap"))
 def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
-                pre13_fr, q_mem, q_lv, ridx, base, read_len, direction, sid,
-                seed_off, seed_len, lane_on, *, l_ek: int, a_cap: int,
+                pre13_fr, q_mem, q_lv, lane_args, *, l_ek: int, a_cap: int,
                 m_cap: int, pack_cap: int, bl: int | None = None,
                 iv_cap: int | None = None):
     """Slow-mode ladder: collect all MEMs (stride 2), sort by match_len
-    desc, map the first 8. Returns
-    (packed_anchors, a_base, a_cnt, mem_overflow, pack_overflow,
-    iv_ovf — see fast_ladder).
+    desc, map the first 8. Returns (packed_anchors, info,
+    pack_overflow) with info = [a_base, a_cnt, mem_overflow, iv_ovf]
+    (pack_info; see fast_ladder).
     Active lanes are compacted to width bl per iteration (see
     fast_ladder)."""
+    (ridx, base, read_len, direction, sid, seed_off, seed_len,
+     lane_on) = _unpack_lanes(lane_args)
     N = ridx.shape[0]
     if bl is None:
         bl = max(64, N // 4)
@@ -302,4 +324,6 @@ def slow_ladder(ixr: IndexRefs, fm_blocks, rank6, hash13, codes_fr, buf_len,
     _, anchors, a_cnt = jax.lax.while_loop(
         lambda c: c[0] < kmap, map_body, (jnp.int32(0), anchors, a_cnt))
     packed, a_base, p_ovf = pack_anchors(anchors, a_cnt, pack_cap)
-    return packed, a_base, a_cnt, overflow, p_ovf, spcount[:, 2] > 0
+    return (packed,
+            pack_info(a_base, a_cnt, overflow, spcount[:, 2] > 0),
+            p_ovf)

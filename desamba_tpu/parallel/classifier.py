@@ -131,7 +131,9 @@ class MeshClassifier(DeviceClassifier):
                 hit = (hit1 > 0) & (hit2 > 0) & valid
                 pad = (-hit.shape[1]) % 8
                 hitp = jnp.pad(hit, ((0, 0), (0, pad)))
-                return jnp.packbits(hitp, axis=1)
+                # flat row-major, as _bloom_packed (per-dp-shard rows
+                # concatenate to the global row-major order)
+                return jnp.packbits(hitp, axis=1).reshape(-1)
 
             self._cache[key] = jax.jit(shard_map(
                 step, mesh=self.mesh,
@@ -158,48 +160,47 @@ class MeshClassifier(DeviceClassifier):
 
             if self.shard_full:
                 def step(sh_tup, ref_off, fm_flat, rank6, h13_flat,
-                         codes, blen, pre, q_mem, q_lv, *lanes):
+                         codes, blen, pre, q_mem, q_lv, lanes):
                     from . import sharded as sh
 
                     ixr = self._wrap_ixr(sh_tup, ref_off)
                     fm = sh.wrap_local(fm_flat, self._sh_fm_shape)
                     h13 = sh.wrap_local(h13_flat, self._sh_h13_shape)
-                    out = fn(ixr, fm, rank6, h13, codes, blen, pre,
-                             q_mem, q_lv, *lanes)
-                    packed, base, acnt, flag, povf, ivovf = out
-                    return packed, base, acnt, flag, povf.reshape(1), ivovf
+                    packed, info, povf = fn(ixr, fm, rank6, h13, codes,
+                                            blen, pre, q_mem, q_lv, lanes)
+                    return packed, info, povf.reshape(1)
 
                 n_sh = len(self._sh_fields)
                 self._cache[key] = jax.jit(shard_map(
                     step, mesh=self.mesh,
                     in_specs=((P("idx"),) * n_sh, P(), P("idx"), P(),
-                              P("idx"), P(), P(), P(), P(), P())
-                    + (P("dp"),) * 8,
-                    out_specs=(P("dp"),) * 6, check_rep=False))
+                              P("idx"), P(), P(), P(), P(), P(),
+                              P(None, "dp")),
+                    out_specs=(P("dp"),) * 3, check_rep=False))
             else:
                 def step(ixr, fm_blocks, rank6, hash13, codes, blen, pre,
-                         q_mem, q_lv, *lanes):
-                    out = fn(ixr, fm_blocks, rank6, hash13, codes, blen,
-                             pre, q_mem, q_lv, *lanes)
-                    packed, base, acnt, flag, povf, ivovf = out
-                    return packed, base, acnt, flag, povf.reshape(1), ivovf
+                         q_mem, q_lv, lanes):
+                    packed, info, povf = fn(ixr, fm_blocks, rank6, hash13,
+                                            codes, blen, pre, q_mem, q_lv,
+                                            lanes)
+                    return packed, info, povf.reshape(1)
 
                 # reads are replicated for the ladders (lanes of one read
-                # may land on any shard); lane arrays split over dp
+                # may land on any shard); lane columns split over dp
                 self._cache[key] = jax.jit(shard_map(
                     step, mesh=self.mesh,
-                    in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P())
-                    + (P("dp"),) * 8,
-                    out_specs=(P("dp"),) * 6, check_rep=False))
+                    in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(),
+                              P(None, "dp")),
+                    out_specs=(P("dp"),) * 3, check_rep=False))
         dix = self.dix
         if self.shard_full:
             return self._cache[key](self._sh_ixr, self.ixr.ref_off,
                                     self._sh_fm, dix.rank, self._sh_h13,
                                     codes_fr, buf_len, pre13,
-                                    dix.q_mem, dix.q_lv, *lane_args)
+                                    dix.q_mem, dix.q_lv, lane_args)
         return self._cache[key](self.ixr, dix.fm_blocks, dix.rank,
                                 dix.hash13, codes_fr, buf_len, pre13,
-                                dix.q_mem, dix.q_lv, *lane_args)
+                                dix.q_mem, dix.q_lv, lane_args)
 
     def _pack_cap_local(self, NB):
         # per-shard pack capacity (base offsets are shard-local before
@@ -218,7 +219,7 @@ class MeshClassifier(DeviceClassifier):
             self._cache[key] = jax.jit(shard_map(
                 dc.chain_step.__wrapped__, mesh=self.mesh,
                 in_specs=(P(), P("dp"), P("dp")),
-                out_specs=(P("dp"),) * 5, check_rep=False))
+                out_specs=(P("dp"),) * 6, check_rep=False))
         return self._cache[key](packed, jnp.asarray(gidx),
                                 jnp.asarray(nanc))
 
